@@ -1,0 +1,742 @@
+"""Compiled percolation index: link tables + per-keyword probe structures.
+
+Spark-first re-expression of the reference engine
+(/root/reference/lib/engine/index.js:51-235 and storeOperands.ts): the
+filter → subfilter → condition link tables are the same conceptual shape,
+but the probe structures are immutable, picklable, numpy-backed objects
+designed to be ``spark.sparkContext.broadcast`` to executors and probed
+**vectorized over whole Arrow batches** instead of one document at a time.
+
+Removal (/root/reference/lib/engine/removeOperands.js) is handled the
+Spark-idiomatic way: the authoritative state is the registered-filters dict;
+``compile()`` derives a fresh CompiledIndex, so "remove" is just re-derive
+without the filter — no in-place surgical teardown.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from ..geo.geopoint import convert_geopoint
+from ..geo.shapes import Annulus, BBox, Circle, GeoShape, Polygon, cells_hash_for_points
+from ..normalize import NormalizedFilter, compile_js_regex, seeded_hash
+from ..normalize.standardize import NormalizedExists
+
+# ---------------------------------------------------------------------------
+# typed value keys (strict JS equality: 1 !== '1', true !== 1)
+# ---------------------------------------------------------------------------
+
+
+def vkey(v: Any):
+    """Type-tagged key for strict-equality dictionaries."""
+    if v is None:
+        return ("null", None)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, (int, float)):
+        return ("num", float(v))
+    if isinstance(v, str):
+        return ("str", v)
+    return ("other", repr(v))
+
+
+def typed_contains(lst: Any, tag: str, value: Any) -> bool:
+    """Strict containment of a typed scalar in a (possibly non-list) value."""
+    if not isinstance(lst, (list, tuple, np.ndarray)):
+        return False
+    for item in lst:
+        if tag == "null":
+            if item is None:
+                return True
+        elif tag == "bool":
+            if isinstance(item, (bool, np.bool_)) and bool(item) == value:
+                return True
+        elif tag == "num":
+            if isinstance(item, (int, float, np.integer, np.floating)) and not isinstance(
+                item, (bool, np.bool_)
+            ) and float(item) == value:
+                return True
+        elif tag == "str":
+            if isinstance(item, str) and item == value:
+                return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# probe structures
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RangeSet:
+    """All range intervals on one field, SoA layout for broadcast tests.
+
+    ``notrange`` complements are inserted at build time as the two
+    complement intervals with flipped bound openness, exactly like the
+    reference (/root/reference/lib/engine/storeOperands.ts:295-333).
+    """
+
+    lows: np.ndarray  # float64
+    highs: np.ndarray  # float64
+    low_strict: np.ndarray  # bool (True = open bound)
+    high_strict: np.ndarray  # bool
+    sf_offsets: np.ndarray  # int64, CSR offsets into sf_data
+    sf_data: np.ndarray  # int32 subfilter ordinals
+
+    def probe(self, values: np.ndarray, valid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (row_idx, sf_ord) hit pairs for numeric values."""
+        k = len(self.lows)
+        if k == 0:
+            return _EMPTY_PAIRS
+        rows_all = []
+        ivals_all = []
+        n = len(values)
+        # chunk so the boolean matrix stays < ~64M cells
+        chunk = max(1, (1 << 26) // max(k, 1))
+        vi = np.nonzero(valid)[0]
+        v = values[vi]
+        for s in range(0, len(v), chunk):
+            vv = v[s : s + chunk, None]
+            ge = np.where(self.low_strict, vv > self.lows, vv >= self.lows)
+            le = np.where(self.high_strict, vv < self.highs, vv <= self.highs)
+            r, c = np.nonzero(ge & le)
+            rows_all.append(vi[s : s + chunk][r])
+            ivals_all.append(c)
+        if not rows_all:
+            return _EMPTY_PAIRS
+        rows = np.concatenate(rows_all)
+        ivs = np.concatenate(ivals_all)
+        return _expand_csr(rows, ivs, self.sf_offsets, self.sf_data)
+
+
+@dataclass
+class RegexpSet:
+    """Regex conditions on one field; compiled lazily per process."""
+
+    patterns: list[tuple[str, str | None]]  # (pattern, flags)
+    sf_lists: list[np.ndarray]
+    _compiled: list = dc_field(default_factory=list, repr=False)
+
+    def compiled(self):
+        if len(self._compiled) != len(self.patterns):
+            self._compiled = [compile_js_regex(p, f) for p, f in self.patterns]
+        return self._compiled
+
+
+@dataclass
+class GeoSet:
+    """Geo shapes on one field + cell → candidate-shape prefilter maps."""
+
+    shapes: list[GeoShape]
+    sf_lists: list[np.ndarray]
+    # precision → {cell_int: np.ndarray(shape indices)}
+    cell_maps: dict[int, dict[int, np.ndarray]] = dc_field(default_factory=dict)
+    all_sfs: np.ndarray = dc_field(default_factory=lambda: np.empty(0, dtype=np.int32))
+
+    def build_cells(self):
+        per_precision: dict[int, dict[int, list[int]]] = {}
+        for si, shape in enumerate(self.shapes):
+            pp = per_precision.setdefault(shape.precision, {})
+            for cell in shape.cells:
+                pp.setdefault(cell, []).append(si)
+        self.cell_maps = {
+            p: {c: np.asarray(v, dtype=np.int32) for c, v in m.items()}
+            for p, m in per_precision.items()
+        }
+
+    def candidates(self, lat: np.ndarray, lon: np.ndarray, valid: np.ndarray):
+        """Geohash-cell pre-filter: (row, shape_idx) candidate pairs."""
+        vi = np.nonzero(valid)[0]
+        if len(vi) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        rows_out = []
+        shapes_out = []
+        for precision, cmap in self.cell_maps.items():
+            cells = cells_hash_for_points(lat[vi], lon[vi], precision)
+            # probe the dict per distinct cell (few distinct cells per batch)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            for ui, cell in enumerate(uniq):
+                cand = cmap.get(int(cell))
+                if cand is None:
+                    continue
+                rr = vi[inv == ui]
+                rows_out.append(np.repeat(rr, len(cand)))
+                shapes_out.append(np.tile(cand, len(rr)))
+        if not rows_out:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        return np.concatenate(rows_out), np.concatenate(shapes_out)
+
+
+_EMPTY_PAIRS = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32))
+
+
+def _expand_csr(rows, idxs, offsets, data):
+    """Expand per-(row, item) hits into (row, sf) pairs through CSR lists."""
+    if len(rows) == 0:
+        return _EMPTY_PAIRS
+    counts = (offsets[idxs + 1] - offsets[idxs]).astype(np.int64)
+    out_rows = np.repeat(rows, counts)
+    # gather sf data: build index ranges
+    starts = offsets[idxs]
+    total = int(counts.sum())
+    if total == 0:
+        return _EMPTY_PAIRS
+    # vectorized multi-range gather
+    flat = np.arange(total, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    within = flat - np.repeat(cum[:-1], counts)
+    gather = np.repeat(starts, counts) + within
+    return out_rows, data[gather]
+
+
+def _csr_from_lists(sf_lists: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(sf_lists) + 1, dtype=np.int64)
+    for i, lst in enumerate(sf_lists):
+        offsets[i + 1] = offsets[i] + len(lst)
+    data = (
+        np.concatenate(sf_lists).astype(np.int32)
+        if sf_lists
+        else np.empty(0, dtype=np.int32)
+    )
+    return offsets, data
+
+
+# ---------------------------------------------------------------------------
+# document batches
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DocBatch:
+    """A batch of documents in columnar form for the matcher."""
+
+    n: int
+    cols: dict[str, pd.Series]  # dot-path → values
+    docs: pd.Series | None = None  # original documents (dicts) for match/select
+
+    _geo_cache: dict = dc_field(default_factory=dict, repr=False)
+
+    def col(self, path: str) -> pd.Series | None:
+        return self.cols.get(path)
+
+    def geo(self, path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(lat, lon, valid) arrays for a geopoint field."""
+        cached = self._geo_cache.get(path)
+        if cached is not None:
+            return cached
+        lat_s = self.cols.get(f"{path}.lat")
+        lon_s = self.cols.get(f"{path}.lon")
+        if lat_s is not None and lon_s is not None:
+            lat = pd.to_numeric(lat_s, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
+            lon = pd.to_numeric(lon_s, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
+            valid = ~(np.isnan(lat) | np.isnan(lon))
+        else:
+            s = self.cols.get(path)
+            lat = np.full(self.n, np.nan)
+            lon = np.full(self.n, np.nan)
+            if s is not None:
+                for i, v in enumerate(s):
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        continue
+                    pt = convert_geopoint(_unwrap(v))
+                    if pt is not None:
+                        lat[i], lon[i] = pt
+            valid = ~(np.isnan(lat) | np.isnan(lon))
+        out = (lat, lon, valid)
+        self._geo_cache[path] = out
+        return out
+
+
+def _unwrap(v):
+    """Arrow → python: structs arrive as dicts already; Rows → dict."""
+    if hasattr(v, "asDict"):
+        return v.asDict(recursive=True)
+    return v
+
+
+def extract_path(doc: Any, path: str):
+    """Dot-path extraction mirroring reference flatten semantics
+    (/root/reference/lib/util/Flatten.ts:21-46): intermediate object nodes
+    are addressable; arrays are leaves (no descent)."""
+    cur = doc
+    for part in path.split("."):
+        if isinstance(cur, dict):
+            if part not in cur:
+                return _MISSING
+            cur = cur[part]
+        else:
+            return _MISSING
+    return cur
+
+
+class _Missing:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "<missing>"
+
+
+_MISSING = _Missing()
+
+
+# ---------------------------------------------------------------------------
+# compiled index
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchPattern:
+    """A `match` keyword pattern (recursive subset semantics)."""
+
+    pattern: dict
+    sfs: np.ndarray
+
+
+@dataclass
+class SelectEntry:
+    """A `select` keyword: child index per (field, index)."""
+
+    field: str
+    index: int
+    child: "CompiledIndex"
+    # child filter_id → parent sf ordinals
+    filters: dict[str, np.ndarray]
+
+
+class CompiledIndex:
+    """Immutable, picklable probe structures for one filter namespace."""
+
+    def __init__(self):
+        self.n_sf = 0
+        self.sf_counts = np.empty(0, dtype=np.int32)
+        self.sf_filter_offsets = np.empty(1, dtype=np.int64)
+        self.sf_filter_data: list[str] = []  # filter ids, CSR by sf ordinal
+        self.filter_ids: list[str] = []
+        self.fields_needed: set[str] = set()
+        self.geo_fields: set[str] = set()
+        self.needs_docs = False
+
+        self.equals: dict[str, dict[tuple, np.ndarray]] = {}
+        self.notequals: dict[str, dict[tuple, np.ndarray]] = {}
+        self.notequals_all: dict[str, np.ndarray] = {}
+        self.exists_sfs: dict[str, np.ndarray] = {}
+        self.exists_values: dict[str, dict[tuple, np.ndarray]] = {}
+        self.notexists_sfs: dict[str, np.ndarray] = {}
+        self.notexists_values: dict[str, dict[tuple, np.ndarray]] = {}
+        self.notexists_values_all: dict[str, np.ndarray] = {}
+        self.ranges: dict[str, RangeSet] = {}
+        self.notranges: dict[str, RangeSet] = {}
+        self.notrange_all: dict[str, np.ndarray] = {}
+        self.regexps: dict[str, RegexpSet] = {}
+        self.notregexps: dict[str, RegexpSet] = {}
+        self.notregexp_all: dict[str, np.ndarray] = {}
+        self.geo: dict[str, GeoSet] = {}
+        self.notgeo: dict[str, GeoSet] = {}
+        self.match_patterns: list[MatchPattern] = []
+        self.notmatch_patterns: list[MatchPattern] = []
+        self.selects: list[SelectEntry] = []
+        self.everything_sfs = np.empty(0, dtype=np.int32)
+
+    # -- matching ---------------------------------------------------------
+
+    def match_batch(self, batch: DocBatch) -> tuple[np.ndarray, np.ndarray]:
+        """Match a batch; returns deduplicated (row, filter-ordinal) pairs.
+
+        The condition countdown of the reference
+        (/root/reference/lib/engine/matcher/testTables.js:53-66) becomes a
+        single vectorized count: every keyword section emits
+        (row, sf_ordinal) hits — one per matched condition — and a subfilter
+        matches when its hit count equals its condition count.
+        """
+        hits_r: list[np.ndarray] = []
+        hits_s: list[np.ndarray] = []
+
+        def emit(rows, sfs):
+            if len(rows):
+                hits_r.append(np.asarray(rows, dtype=np.int64))
+                hits_s.append(np.asarray(sfs, dtype=np.int32))
+
+        def emit_rows_x_sfs(rows: np.ndarray, sfs: np.ndarray):
+            if len(rows) and len(sfs):
+                hits_r.append(np.repeat(np.asarray(rows, dtype=np.int64), len(sfs)))
+                hits_s.append(np.tile(sfs, len(rows)))
+
+        n = batch.n
+        all_rows = np.arange(n, dtype=np.int64)
+
+        if len(self.everything_sfs):
+            emit_rows_x_sfs(all_rows, self.everything_sfs)
+
+        self._match_equals(batch, emit, emit_rows_x_sfs)
+        self._match_exists(batch, emit, emit_rows_x_sfs)
+        self._match_ranges(batch, emit, emit_rows_x_sfs)
+        self._match_regexps(batch, emit, emit_rows_x_sfs)
+        self._match_geo(batch, emit, emit_rows_x_sfs)
+        self._match_match(batch, emit)
+        self._match_select(batch, emit)
+
+        if not hits_r:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+        rows = np.concatenate(hits_r)
+        sfs = np.concatenate(hits_s).astype(np.int64)
+        combined = rows * self.n_sf + sfs
+        uniq, counts = np.unique(combined, return_counts=True)
+        u_rows = uniq // self.n_sf
+        u_sfs = uniq % self.n_sf
+        ok = counts == self.sf_counts[u_sfs]
+        m_rows = u_rows[ok]
+        m_sfs = u_sfs[ok]
+        # resolve sf → filters (CSR), then dedup (row, filter)
+        off = self.sf_filter_offsets
+        counts_f = off[m_sfs + 1] - off[m_sfs]
+        out_rows = np.repeat(m_rows, counts_f)
+        total = int(counts_f.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        flat = np.arange(total, dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum(counts_f)))
+        within = flat - np.repeat(cum[:-1], counts_f)
+        gather = np.repeat(off[m_sfs], counts_f) + within
+        out_fids = self._sf_filter_ord[gather]
+        pair = out_rows * len(self.filter_ids) + out_fids
+        upair = np.unique(pair)
+        return upair // len(self.filter_ids), upair % len(self.filter_ids)
+
+    def match_docs(self, docs: list[dict]) -> list[list[str]]:
+        """Local (driver-side) matching of Python dict documents — the
+        ``Koncorde.test`` compatibility path used by ported reference tests."""
+        batch = batch_from_docs(docs, self)
+        rows, fords = self.match_batch(batch)
+        out: list[list[str]] = [[] for _ in range(len(docs))]
+        for r, f in zip(rows.tolist(), fords.tolist()):
+            out[r].append(self.filter_ids[f])
+        return out
+
+    # -- keyword sections ---------------------------------------------------
+
+    def _series_scalar_hits(self, s: pd.Series, cond_map: dict[tuple, np.ndarray], emit):
+        """Emit (rows, sfs) for strict-equality probes over one column.
+
+        O(n log n): factorize to distinct values, dict-probe the (few)
+        distinct values against the condition map, then gather row groups
+        per hit value via one stable argsort — the batch analogue of the
+        reference's O(1)-per-doc Map.get
+        (/root/reference/lib/engine/matcher/matchEquals.js:30-38).
+        """
+        if s is None:
+            return
+        null_sfs = cond_map.get(("null", None))
+        isna = s.isna().to_numpy()
+        if null_sfs is not None and isna.any():
+            rows = np.nonzero(isna)[0]
+            emit(np.repeat(rows, len(null_sfs)), np.tile(null_sfs, len(rows)))
+        nn = np.nonzero(~isna)[0]
+        if len(nn) == 0:
+            return
+        sub = s.iloc[nn]
+        try:
+            codes, uniques = pd.factorize(sub)
+        except TypeError:
+            # unhashable values (lists/structs) → typed per-row fallback
+            for off, v in zip(nn, sub):
+                try:
+                    sfs = cond_map.get(vkey(_coerce_np(v)))
+                except TypeError:
+                    continue
+                if sfs is not None:
+                    emit(np.full(len(sfs), off, dtype=np.int64), sfs)
+            return
+        hits = []
+        for ui, u in enumerate(uniques):
+            try:
+                sfs = cond_map.get(vkey(_coerce_np(u)))
+            except TypeError:
+                continue
+            if sfs is not None:
+                hits.append((ui, sfs))
+        if not hits:
+            return
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        for ui, sfs in hits:
+            lo = np.searchsorted(sorted_codes, ui, side="left")
+            hi = np.searchsorted(sorted_codes, ui, side="right")
+            rr = nn[order[lo:hi]]
+            emit(np.repeat(rr, len(sfs)), np.tile(sfs, len(rr)))
+
+    def _match_equals(self, batch, emit, emit_x):
+        for field, cond_map in self.equals.items():
+            self._series_scalar_hits(batch.col(field), cond_map, emit)
+        for field, all_sfs in self.notequals_all.items():
+            s = batch.col(field)
+            cond_map = self.notequals.get(field, {})
+            if s is None:
+                emit_x(np.arange(batch.n, dtype=np.int64), all_sfs)
+                continue
+            isna = s.isna().to_numpy()
+            rows_na = np.nonzero(isna)[0]
+            emit_x(rows_na, all_sfs)  # missing field matches every notequals
+            # present rows: (nn × all_sfs) MINUS strict-equal hits
+            nn = np.nonzero(~isna)[0]
+            if len(nn) == 0:
+                continue
+            neg_hits_r: list[np.ndarray] = []
+            neg_hits_s: list[np.ndarray] = []
+
+            def nemit(r, sfs):
+                if len(r):
+                    neg_hits_r.append(np.asarray(r, dtype=np.int64))
+                    neg_hits_s.append(np.asarray(sfs, dtype=np.int32))
+
+            self._series_scalar_hits(s, cond_map, nemit)
+            blanket = (
+                np.repeat(nn.astype(np.int64), len(all_sfs)) * self.n_sf
+                + np.tile(all_sfs.astype(np.int64), len(nn))
+            )
+            if neg_hits_r:
+                rr = np.concatenate(neg_hits_r)
+                ss = np.concatenate(neg_hits_s).astype(np.int64)
+                eq_keys = rr * self.n_sf + ss
+                keep = np.setdiff1d(blanket, eq_keys, assume_unique=False)
+            else:
+                keep = blanket
+            emit(keep // self.n_sf, (keep % self.n_sf).astype(np.int32))
+
+    def _match_exists(self, batch, emit, emit_x):
+        for path, sfs in self.exists_sfs.items():
+            s = batch.col(path)
+            if s is None:
+                continue
+            rows = np.nonzero(s.notna().to_numpy())[0]
+            emit_x(rows, sfs)
+        for path, vmap in self.exists_values.items():
+            s = batch.col(path)
+            if s is None:
+                continue
+            for (tag, value), sfs in vmap.items():
+                hits = s.apply(lambda lst: typed_contains(lst, tag, value)).to_numpy(dtype=bool)
+                rows = np.nonzero(hits)[0]
+                emit_x(rows, sfs)
+        for path, sfs in self.notexists_sfs.items():
+            s = batch.col(path)
+            if s is None:
+                rows = np.arange(batch.n, dtype=np.int64)
+            else:
+                rows = np.nonzero(s.isna().to_numpy())[0]
+            emit_x(rows, sfs)
+        for path, vmap in self.notexists_values.items():
+            s = batch.col(path)
+            all_sfs = self.notexists_values_all[path]
+            if s is None:
+                emit_x(np.arange(batch.n, dtype=np.int64), all_sfs)
+                continue
+            isna = s.isna().to_numpy()
+            emit_x(np.nonzero(isna)[0], all_sfs)
+            nn = np.nonzero(~isna)[0]
+            if len(nn) == 0:
+                continue
+            sub = s.iloc[nn]
+            is_arr = sub.apply(lambda v: isinstance(v, (list, tuple, np.ndarray))).to_numpy(dtype=bool)
+            # non-array present value: every array-value cond matches
+            emit_x(nn[~is_arr], all_sfs)
+            arr_rows = nn[is_arr]
+            for (tag, value), sfs in vmap.items():
+                contains = s.iloc[arr_rows].apply(
+                    lambda lst: typed_contains(lst, tag, value)
+                ).to_numpy(dtype=bool)
+                emit_x(arr_rows[~contains], sfs)
+
+    def _numeric_col(self, batch, field):
+        s = batch.col(field)
+        if s is None:
+            return None, None
+        if pd.api.types.is_bool_dtype(s.dtype):
+            return None, None
+        if pd.api.types.is_numeric_dtype(s.dtype):
+            vals = s.to_numpy(dtype=np.float64, na_value=np.nan)
+            return vals, ~np.isnan(vals)
+        # object column: extract numbers only (strict typing: strings don't match range)
+        vals = np.full(batch.n, np.nan)
+        for i, v in enumerate(s):
+            if isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(
+                v, (bool, np.bool_)
+            ):
+                vals[i] = float(v)
+        return vals, ~np.isnan(vals)
+
+    def _match_ranges(self, batch, emit, emit_x):
+        for field, rset in self.ranges.items():
+            vals, valid = self._numeric_col(batch, field)
+            if vals is None:
+                continue
+            r, s = rset.probe(vals, valid)
+            emit(r, s)
+        for field, rset in self.notranges.items():
+            all_sfs = self.notrange_all[field]
+            vals, valid = self._numeric_col(batch, field)
+            if vals is None:
+                # column entirely absent → non-number → all notrange match
+                emit_x(np.arange(batch.n, dtype=np.int64), all_sfs)
+                continue
+            # non-number value ⇒ matches all notrange conds on the field
+            emit_x(np.nonzero(~valid)[0], all_sfs)
+            r, s = rset.probe(vals, valid)
+            # complement intervals already encode the negation — hits are matches
+            emit(r, s)
+
+    def _match_regexps(self, batch, emit, emit_x):
+        for field, rx in self.regexps.items():
+            s = batch.col(field)
+            if s is None:
+                continue
+            sstr = s.where(s.apply(lambda v: isinstance(v, str)), other=None) if (
+                pd.api.types.is_object_dtype(s.dtype)
+            ) else s
+            for creg, sfs in zip(rx.compiled(), rx.sf_lists):
+                hit = sstr.str.contains(creg, na=False, regex=True).to_numpy(dtype=bool)
+                emit_x(np.nonzero(hit)[0], sfs)
+        for field, rx in self.notregexps.items():
+            s = batch.col(field)
+            if s is None:
+                all_sfs = self.notregexp_all[field]
+                emit_x(np.arange(batch.n, dtype=np.int64), all_sfs)
+                continue
+            sstr = s.where(s.apply(lambda v: isinstance(v, str)), other=None) if (
+                pd.api.types.is_object_dtype(s.dtype)
+            ) else s
+            for creg, sfs in zip(rx.compiled(), rx.sf_lists):
+                hit = sstr.str.contains(creg, na=False, regex=True).to_numpy(dtype=bool)
+                # missing or non-matching values ⇒ match
+                emit_x(np.nonzero(~hit)[0], sfs)
+
+    def _match_geo(self, batch, emit, emit_x):
+        for field, gset in self.geo.items():
+            lat, lon, valid = batch.geo(field)
+            rows, shape_idx = gset.candidates(lat, lon, valid)
+            if len(rows) == 0:
+                continue
+            for si in np.unique(shape_idx):
+                rr = rows[shape_idx == si]
+                inside = gset.shapes[si].contains(lat[rr], lon[rr])
+                hit_rows = rr[inside]
+                sfs = gset.sf_lists[si]
+                emit_x(hit_rows, sfs)
+        for field, gset in self.notgeo.items():
+            lat, lon, valid = batch.geo(field)
+            # no/invalid geopoint ⇒ all notgeospatial conds on the field match
+            emit_x(np.nonzero(~valid)[0], gset.all_sfs)
+            vi = np.nonzero(valid)[0]
+            if len(vi) == 0:
+                continue
+            matched = np.zeros((len(gset.shapes), batch.n), dtype=bool)
+            rows, shape_idx = gset.candidates(lat, lon, valid)
+            for si in np.unique(shape_idx):
+                rr = rows[shape_idx == si]
+                inside = gset.shapes[si].contains(lat[rr], lon[rr])
+                matched[si, rr[inside]] = True
+            for si, sfs in enumerate(gset.sf_lists):
+                out_rows = vi[~matched[si, vi]]
+                emit_x(out_rows, sfs)
+
+    def _match_match(self, batch, emit):
+        if not self.match_patterns and not self.notmatch_patterns:
+            return
+        docs = batch.docs
+        if docs is None:
+            return
+        from .objectmatcher import match_any
+
+        for mp in self.match_patterns:
+            rows = [i for i, d in enumerate(docs) if isinstance(d, dict) and match_any(d, mp.pattern)]
+            if rows:
+                r = np.asarray(rows, dtype=np.int64)
+                emit(np.repeat(r, len(mp.sfs)), np.tile(mp.sfs, len(r)))
+        for mp in self.notmatch_patterns:
+            rows = [i for i, d in enumerate(docs) if not (isinstance(d, dict) and match_any(d, mp.pattern))]
+            if rows:
+                r = np.asarray(rows, dtype=np.int64)
+                emit(np.repeat(r, len(mp.sfs)), np.tile(mp.sfs, len(r)))
+
+    def _match_select(self, batch, emit):
+        if not self.selects:
+            return
+        docs = batch.docs
+        for se in self.selects:
+            # collect the selected element per row, then match them as a
+            # child batch in one vectorized pass
+            elems: list = []
+            rows: list[int] = []
+            if docs is not None:
+                values = [
+                    extract_path(d, se.field) if isinstance(d, dict) else _MISSING for d in docs
+                ]
+            else:
+                s = batch.col(se.field)
+                if s is None:
+                    continue
+                values = list(s)
+            for i, arr in enumerate(values):
+                if not isinstance(arr, (list, tuple, np.ndarray)):
+                    continue
+                idx = se.index if se.index >= 0 else len(arr) + se.index
+                if idx < 0 or idx >= len(arr):
+                    continue
+                elems.append({"value": _coerce_np(arr[idx])})
+                rows.append(i)
+            if not rows:
+                continue
+            child_batch = batch_from_docs(elems, se.child)
+            c_rows, c_fords = se.child.match_batch(child_batch)
+            for cr, cf in zip(c_rows.tolist(), c_fords.tolist()):
+                child_fid = se.child.filter_ids[cf]
+                sfs = se.filters.get(child_fid)
+                if sfs is not None:
+                    emit(np.full(len(sfs), rows[cr], dtype=np.int64), sfs)
+
+    # finalize helper set by builder
+    _sf_filter_ord: np.ndarray = np.empty(0, dtype=np.int64)
+
+
+def _coerce_np(v):
+    """numpy scalar → python scalar (Arrow lists arrive as np arrays)."""
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return [_coerce_np(x) for x in v.tolist()]
+    return v
+
+
+def batch_from_docs(docs: list[dict], index: "CompiledIndex") -> DocBatch:
+    """Build a DocBatch from Python dict documents (driver-side test path)."""
+    n = len(docs)
+    cols: dict[str, pd.Series] = {}
+    for path in index.fields_needed:
+        vals = []
+        for d in docs:
+            v = extract_path(d, path) if isinstance(d, dict) else _MISSING
+            vals.append(None if v is _MISSING else v)
+        cols[path] = pd.Series(vals, dtype=object)
+    for gf in index.geo_fields:
+        # geo fields are parsed per row from the raw value by DocBatch.geo
+        if gf not in cols:
+            vals = []
+            for d in docs:
+                v = extract_path(d, gf) if isinstance(d, dict) else _MISSING
+                vals.append(None if v is _MISSING else v)
+            cols[gf] = pd.Series(vals, dtype=object)
+    return DocBatch(n=n, cols=cols, docs=pd.Series(docs, dtype=object))
