@@ -1,0 +1,46 @@
+"""Brute-force single-node BM25 oracle (pure pandas/numpy).
+
+Independent implementation used by tests to verify that the distributed
+index + WAND path is rank-identical (doc IDs and float64 scores) on the
+frozen query set. Same canonical tokenizer, same frozen constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .indexer import doc_id_of
+from .tokenizer import tokenize_text
+from .wand import bm25_idf
+
+
+def bm25_oracle_topk(
+    corpus: pd.DataFrame, query: str, k: int, k1: float = 1.2, b: float = 0.75
+) -> pd.DataFrame:
+    """corpus: pandas DF with (repo, path, commit, content). Returns
+    (doc_id, score) sorted by score desc, doc_id asc, head k."""
+    doc_ids = np.array(
+        [doc_id_of(r, p, c) for r, p, c in zip(corpus["repo"], corpus["path"], corpus["commit"])],
+        dtype=np.int64,
+    )
+    toks = [tokenize_text(t) for t in corpus["content"]]
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    n_docs = len(corpus)
+    avgdl = dls.mean() if n_docs else 1.0
+
+    q_terms = sorted(set(tokenize_text(query)))
+    scores = np.zeros(n_docs, dtype=np.float64)
+    for term in q_terms:
+        tf = np.array([t.count(term) for t in toks], dtype=np.float64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        idf = bm25_idf(n_docs, df)
+        tfpart = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls / avgdl))
+        scores += np.where(tf > 0, idf * tfpart, 0.0)
+
+    hit = scores > 0
+    out = pd.DataFrame({"doc_id": doc_ids[hit], "score": scores[hit]})
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)

@@ -1,0 +1,109 @@
+"""BM25 top-k query execution over the sharded postings index.
+
+Plan shape (document-partitioned search, scales to any corpus size):
+
+    postings scan, PushedFilters: term IN (query terms)   ← pruned scan
+      → groupBy(shard) applyInPandas(per-shard block-max WAND top-k)
+      → global top-k: orderBy(score desc, doc_id asc) limit k  ← tiny
+
+Per-shard WAND needs no cross-shard state (BM25 scores are doc-local given
+global N/avgdl/df, which ride in as broadcast literals), so the heavy stage
+parallelizes by shard with no shuffle of postings bytes beyond the
+term-pruned scan itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codecs import delta_decode, varint_decode
+from .indexer import read_meta
+from .tokenizer import tokenize_text
+from .wand import TermPostings, bm25_idf, topk_block_max_wand
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+class Bm25Index:
+    """Handle to a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = read_meta(index_dir)
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+
+    def topk(self, query: str, k: int = 10) -> DataFrame:
+        """Top-k (doc_id, score) for a free-text query, rank-deterministic."""
+        q_terms = sorted(set(tokenize_text(query)))
+        if not q_terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b, block_size = meta["k1"], meta["b"], meta["block_size"]
+
+        # global df per query term (tiny collect — q_terms ≤ a few dozen)
+        df_rows = self.terms.where(F.col("term").isin(q_terms)).collect()
+        idf_map = {r["term"]: float(bm25_idf(n_docs, r["df"])) for r in df_rows}
+        if not idf_map:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        relevant = self.postings.where(F.col("term").isin(list(idf_map)))
+        # exact per-entry scores need each doc's length: the shard's doc
+        # lengths arrive on the cogrouped docs side (shard-local data)
+        docs_dl = self.docs.select("shard", "doc_id", "dl")
+
+        k1_, b_, bs_, avgdl_ = k1, b, block_size, avgdl
+        idf_map_b = idf_map
+        k_ = k
+
+        def cogrouped(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(post_pdf) == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            dl_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
+            dl_vals = docs_pdf["dl"].to_numpy(dtype=np.float64)
+            order = np.argsort(dl_ids)
+            dl_ids, dl_vals = dl_ids[order], dl_vals[order]
+
+            tps: list[TermPostings] = []
+            for _, row in post_pdf.iterrows():
+                n = int(row["df"])
+                ids = delta_decode(bytes(row["doc_ids"]), n).astype(np.int64)
+                tfs = varint_decode(bytes(row["tfs"]), n).astype(np.float64)
+                pos = np.searchsorted(dl_ids, ids)
+                dls = dl_vals[pos]
+                idf = idf_map_b[row["term"]]
+                tfpart = tfs * (k1_ + 1.0) / (tfs + k1_ * (1.0 - b_ + b_ * dls / avgdl_))
+                tps.append(
+                    TermPostings(
+                        doc_ids=ids,
+                        scores=idf * tfpart,
+                        block_last=np.asarray(row["block_last"], dtype=np.int64),
+                        block_ub=idf * np.asarray(row["block_max"], dtype=np.float64),
+                        block_size=bs_,
+                    )
+                )
+            ids, scores = topk_block_max_wand(tps, k_)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        per_shard_topk = (
+            relevant.groupBy("shard")
+            .cogroup(docs_dl.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
+        )
+        return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

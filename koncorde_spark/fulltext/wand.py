@@ -1,0 +1,126 @@
+"""Block-max WAND top-k scorer (numpy, per shard).
+
+Operates on decoded postings for the query's terms within one doc shard.
+Segment-at-a-time block-max WAND: the doc-id axis is processed in segments
+bounded by the current block boundaries of the live terms; a segment whose
+summed block-max upper bound cannot beat the running top-k threshold is
+skipped wholesale (cursors advance past it without decoding scores);
+otherwise the segment's union of candidates is scored vectorized. This
+keeps the WAND pruning property while doing all arithmetic on numpy
+arrays instead of per-document Python.
+
+Scores use frozen BM25 constants: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+tf part = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)); ties break by
+ascending doc_id for rank determinism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class TermPostings:
+    """Decoded postings of one term within one shard."""
+
+    doc_ids: np.ndarray  # int64, sorted ascending
+    scores: np.ndarray  # float64 per-entry full score (idf * tf part)
+    block_last: np.ndarray  # int64 last doc id per block
+    block_ub: np.ndarray  # float64 idf * block max tf part
+    block_size: int
+
+
+def bm25_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _merge_topk(
+    best_ids: np.ndarray, best_scores: np.ndarray,
+    cand_ids: np.ndarray, cand_scores: np.ndarray, k: int
+):
+    ids = np.concatenate([best_ids, cand_ids])
+    scores = np.concatenate([best_scores, cand_scores])
+    # rank: score desc, doc_id asc — lexsort keys in reverse priority order
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order]
+
+
+def topk_block_max_wand(terms: list[TermPostings], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (doc_ids, scores) over the given term postings."""
+    terms = [t for t in terms if len(t.doc_ids)]
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    total = sum(len(t.doc_ids) for t in terms)
+    if total <= 1 << 17:
+        return _score_all(terms, k)
+
+    best_ids = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
+    ptr = [0] * len(terms)  # entry cursor per term
+    nterms = len(terms)
+
+    while True:
+        live = [i for i in range(nterms) if ptr[i] < len(terms[i].doc_ids)]
+        if not live:
+            break
+        # current segment: [seg_start, boundary] where boundary is the
+        # smallest current-block end among live terms
+        seg_start = min(int(terms[i].doc_ids[ptr[i]]) for i in live)
+        boundary = None
+        ub = 0.0
+        contributors = []
+        for i in live:
+            t = terms[i]
+            blk = ptr[i] // t.block_size
+            b_end = int(t.block_last[blk])
+            if boundary is None or b_end < boundary:
+                boundary = b_end
+        for i in live:
+            t = terms[i]
+            if int(t.doc_ids[ptr[i]]) <= boundary:
+                blk = ptr[i] // t.block_size
+                ub += float(t.block_ub[blk])
+                contributors.append(i)
+
+        threshold = float(best_scores[k - 1]) if len(best_scores) >= k else -np.inf
+        if ub <= threshold:
+            # skip: advance every contributor past the boundary
+            for i in contributors:
+                t = terms[i]
+                ptr[i] += int(
+                    np.searchsorted(t.doc_ids[ptr[i] :], boundary, side="right")
+                )
+            continue
+
+        # score the segment [seg_start, boundary] vectorized
+        seg_ids = []
+        seg_scores = []
+        for i in contributors:
+            t = terms[i]
+            lo = ptr[i]
+            hi = lo + int(np.searchsorted(t.doc_ids[lo:], boundary, side="right"))
+            seg_ids.append(t.doc_ids[lo:hi])
+            seg_scores.append(t.scores[lo:hi])
+            ptr[i] = hi
+        ids = np.concatenate(seg_ids)
+        scores = np.concatenate(seg_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        best_ids, best_scores = _merge_topk(best_ids, best_scores, uniq, acc, k)
+
+    return best_ids, best_scores
+
+
+def _score_all(terms: list[TermPostings], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive vectorized scoring (small unions — faster than skipping)."""
+    ids = np.concatenate([t.doc_ids for t in terms])
+    scores = np.concatenate([t.scores for t in terms])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, scores)
+    order = np.lexsort((uniq, -acc))[:k]
+    return uniq[order], acc[order]

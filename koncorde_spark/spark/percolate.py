@@ -1,0 +1,124 @@
+"""DataFrame percolation: match every row against all registered filters.
+
+Spark-first design (SURVEY.md §3.2): the compiled filter index — the
+condition→filter reverse index — is small (thousands of filters) and the
+document side is huge, so the index is **broadcast** and matching is ONE
+zero-shuffle ``mapInPandas`` pass:
+
+    docs → project(needed fields only) → mapInPandas(vectorized matcher)
+         → (doc_id, filter_id) pairs
+
+Catalyst sees a narrow projection (column pruning reaches the parquet
+scan) followed by a Python map; there is no join and no shuffle, so the
+stage scales linearly with input splits — the property the reference gets
+per-document (test() is O(matching conditions)) we get per-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..engine.compiled import CompiledIndex, DocBatch
+
+
+def _resolve_path(schema: T.StructType, path: str) -> tuple[bool, T.DataType | None]:
+    """Walk a dot path through the schema; returns (exists, leaf type)."""
+    parts = path.split(".")
+    cur: T.DataType = schema
+    for p in parts:
+        if not isinstance(cur, T.StructType):
+            return False, None
+        field = next((f for f in cur.fields if f.name == p), None)
+        if field is None:
+            return False, None
+        cur = field.dataType
+    return True, cur
+
+
+def _field_columns(df: DataFrame, ci: CompiledIndex) -> tuple[list[Column], dict[str, str]]:
+    """Build projection columns for every field the filters reference.
+
+    Returns (columns, alias→path map). Missing fields become NULL literals
+    (a DataFrame has a schema, so "missing field" collapses to null — the
+    one documented divergence from the schemaless reference).
+    """
+    cols: list[Column] = []
+    alias_to_path: dict[str, str] = {}
+    i = 0
+
+    def add(path: str, col: Column):
+        nonlocal i
+        alias = f"__kf{i}"
+        i += 1
+        cols.append(col.alias(alias))
+        alias_to_path[alias] = path
+
+    for path in sorted(ci.fields_needed):
+        exists, _ = _resolve_path(df.schema, path)
+        add(path, F.col(path) if exists else F.lit(None))
+
+    for path in sorted(ci.geo_fields):
+        exists, dtype = _resolve_path(df.schema, path)
+        if not exists:
+            add(path, F.lit(None))
+            continue
+        if isinstance(dtype, T.StructType):
+            names = {f.name for f in dtype.fields}
+            if {"lat", "lon"} <= names:
+                add(f"{path}.lat", F.col(f"{path}.lat"))
+                add(f"{path}.lon", F.col(f"{path}.lon"))
+                continue
+        add(path, F.col(path))  # string / array forms parsed in the matcher
+
+    return cols, alias_to_path
+
+
+def percolate(
+    df: DataFrame,
+    index: CompiledIndex,
+    id_col: str = "doc_id",
+    result_col: str = "filter_id",
+) -> DataFrame:
+    """Return a DataFrame of (id_col, filter_id) match pairs."""
+    spark = df.sparkSession
+    cols, alias_to_path = _field_columns(df, index)
+
+    projection = [F.col(id_col).alias("__kid")] + cols
+    if index.needs_docs:
+        projection.append(F.struct(*[F.col(c) for c in df.columns]).alias("__kdoc"))
+    narrow = df.select(*projection)
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField(result_col, T.StringType())]
+    )
+
+    bc = spark.sparkContext.broadcast(index)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ci: CompiledIndex = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            colmap = {path: pdf[alias] for alias, path in alias_to_path.items()}
+            docs = pdf["__kdoc"] if "__kdoc" in pdf.columns else None
+            batch = DocBatch(n=n, cols=colmap, docs=docs)
+            rows, fords = ci.match_batch(batch)
+            if len(rows) == 0:
+                continue
+            fid_arr = np.asarray(ci.filter_ids, dtype=object)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__kid"].to_numpy()[rows],
+                    result_col: fid_arr[fords],
+                }
+            )
+
+    return narrow.mapInPandas(run, schema=out_schema)
