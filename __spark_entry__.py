@@ -1,38 +1,377 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+north-rule / pipeline addition); ``oracle_sql()`` returns the DuckDB twin
+where the operator is SQL-expressible. Percolation oracles are *generated*
+from the same canonical DNF the engine executes (koncorde_spark.engine.
+to_sql), so filter IDs and match semantics stay in lockstep by construction.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koncorde_spark import Koncorde
+from koncorde_spark.engine.to_sql import percolation_oracle_sql
+from koncorde_spark.spark.percolate import percolate
+from koncorde_spark.fulltext.brute import bm25_brute_sql, bm25_brute_topk
+from koncorde_spark.pipeline import dedup, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# fixed filter sets (deterministic: fixed seed → stable filter IDs)
+# ---------------------------------------------------------------------------
+
+EVENTS_FILTERS = [
+    {"equals": {"event_type": "click"}},
+    {"in": {"event_type": ["view", "signup"]}},
+    {"range": {"value": {"gte": 25, "lt": 75}}},
+    {"not": {"range": {"value": {"gt": 10, "lte": 90}}}},
+    {"exists": "value_n"},
+    {"missing": "value_n"},
+    {"not": {"equals": {"event_type": "error"}}},
+    {"regexp": {"event_type": "^(cl|vi)"}},
+    {"not": {"regexp": {"event_type": "e$"}}},
+    {
+        "bool": {
+            "must": [{"equals": {"event_type": "purchase"}}],
+            "should": [
+                {"range": {"value": {"gt": 50}}},
+                {"range": {"value": {"lt": 10}}},
+            ],
+        }
+    },
+    {
+        "and": [
+            {"range": {"user_id": {"gte": 0, "lt": 50}}},
+            {
+                "or": [
+                    {"equals": {"event_type": "click"}},
+                    {"equals": {"event_type": "error"}},
+                ]
+            },
+        ]
+    },
+]
+
+LINEITEM_FILTERS = [
+    {"equals": {"l_returnflag": "R"}},
+    {"in": {"l_returnflag": ["A", "N"]}},
+    {"range": {"l_quantity": {"gte": 25, "lte": 50}}},
+    {
+        "and": [
+            {"equals": {"l_linestatus": "F"}},
+            {"range": {"l_discount": {"gt": 0.05}}},
+        ]
+    },
+    {"not": {"range": {"l_extendedprice": {"lt": 10000}}}},
+    {
+        "or": [
+            {"range": {"l_tax": {"lte": 0.01}}},
+            {"and": [{"equals": {"l_returnflag": "N"}}, {"range": {"l_quantity": {"lt": 5}}}]},
+        ]
+    },
+]
+
+DOCUMENTS_FILTERS = [
+    {"equals": {"lang": "en"}},
+    {"in": {"lang": ["de", "fr"]}},
+    {"not": {"equals": {"lang": "zh"}}},
+    {"range": {"n_chars": {"gte": 200, "lt": 900}}},
+    {"regexp": {"text": "vector"}},
+    {"regexp": {"source": {"value": "^SRC1", "flags": "i"}}},
+    {
+        "bool": {
+            "must": [{"range": {"n_chars": {"gt": 100}}}],
+            "must_not": [{"equals": {"lang": "es"}}],
+            "should": [{"equals": {"lang": "en"}}, {"equals": {"lang": "de"}}],
+        }
+    },
+]
+
+GEO_BBOX_FILTERS = [
+    {"geoBoundingBox": {"pos": {"top": 45.0, "left": -10.0, "bottom": 35.0, "right": 15.0}}},
+    {"geoBoundingBox": {"pos": {"top": 0.0, "left": 100.0, "bottom": -40.0, "right": 160.0}}},
+    {"not": {"geoBoundingBox": {"pos": {"top": 60.0, "left": -180.0, "bottom": -60.0, "right": 180.0}}}},
+]
+
+GEO_SHAPE_FILTERS = [
+    {"geoDistance": {"pos": {"lat": 43.6073913, "lon": 3.9109057}, "distance": "500km"}},
+    {"geoDistanceRange": {"pos": [40.0, 0.0], "from": "100km", "to": "2000km"}},
+    {
+        "geoPolygon": {
+            "pos": {
+                "points": [[30.0, -20.0], [50.0, -20.0], [55.0, 10.0], [40.0, 25.0], [25.0, 5.0]]
+            }
+        }
+    },
+]
+
+BM25_QUERY_TERMS = ["spark", "join", "merge"]
+BM25_K = 20
+
+_rng = np.random.default_rng(7)
+ANN_QUERY_VEC = [round(float(x), 6) for x in _rng.standard_normal(64)]
+ANN_K = 15
+
+
+def _build(filters: list[dict]) -> Koncorde:
+    k = Koncorde()
+    for f in filters:
+        k.register(f)
+    return k
+
+
+def _events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("value_n", F.when(F.col("value") >= 20, F.col("value")))
+    )
+
+
+_EVENTS_ORACLE_TABLE = (
+    "(SELECT *, CASE WHEN value >= 20 THEN value ELSE NULL END AS value_n FROM events)"
+)
+
+
+def _lineitem_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "line_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+
+
+_LINEITEM_ORACLE_TABLE = "(SELECT *, l_orderkey * 10 + l_linenumber AS line_id FROM lineitem)"
+
+
+def _geo_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic synthetic positions derived from events columns
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.struct(
+            (F.pmod(F.col("value") * 1.7, F.lit(170.0)) - 85.0).alias("lat"),
+            (F.pmod(F.col("event_id") * 37.77, F.lit(360.0)) - 180.0).alias("lon"),
+        ).alias("pos"),
+    )
+
+
+def _geo_oracle_where_table() -> str:
+    return (
+        "(SELECT event_id,"
+        " (fmod(value * 1.7, 170.0) + CASE WHEN fmod(value * 1.7, 170.0) < 0 THEN 170.0 ELSE 0 END) - 85.0 AS lat,"
+        " (fmod(event_id * 37.77, 360.0) + CASE WHEN fmod(event_id * 37.77, 360.0) < 0 THEN 360.0 ELSE 0 END) - 180.0 AS lon"
+        " FROM events)"
+    )
+
+
+def _bm25_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    return "/tmp/koncorde_bm25_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_perc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _build(EVENTS_FILTERS)
+    return percolate(_events_df(spark, sf_dir), k.compiled(), id_col="event_id")
+
+
+def _q_perc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _build(LINEITEM_FILTERS)
+    return percolate(_lineitem_df(spark, sf_dir), k.compiled(), id_col="line_id")
+
+
+def _q_perc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _build(DOCUMENTS_FILTERS)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return percolate(docs, k.compiled(), id_col="doc_id")
+
+
+def _q_perc_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _build(GEO_BBOX_FILTERS)
+    return percolate(_geo_df(spark, sf_dir), k.compiled(), id_col="event_id")
+
+
+def _q_perc_geo_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _build(GEO_SHAPE_FILTERS)
+    return percolate(_geo_df(spark, sf_dir), k.compiled(), id_col="event_id")
+
+
+def _q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_brute_topk(docs, BM25_QUERY_TERMS, BM25_K)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed path: build (or reuse) the sharded posting index over the
+    documents-derived corpus, run block-max WAND, map back to doc_id."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk(" ".join(BM25_QUERY_TERMS), BM25_K)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_groups(docs)
+
+
+def _q_minhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signatures(docs, num_perm=16)
+
+
+def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, num_perm=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+    return dedup.jaccard_pairs(docs, pairs)
+
+
+def _q_tokstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.token_stats(docs)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_score(docs)
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.language_id(docs)
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprint(docs)
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, ANN_QUERY_VEC, ANN_K)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_topk(emb, ANN_QUERY_VEC, ANN_K, bits=6)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koncorde_spark.pipeline.multimodal import feature_extract, synthetic_media_df
+
+    media = synthetic_media_df(spark, n_rows=120)
+    return feature_extract(media).select("media_id", "kind", "content_sha", "n_bytes")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: percolate the events table (sf0.001) against the full
+    mixed filter set — the reverse-matching identity of the engine."""
+    return _q_perc_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "perc_events": _q_perc_events,
+        "perc_lineitem": _q_perc_lineitem,
+        "perc_documents": _q_perc_documents,
+        "perc_geo_bbox": _q_perc_geo_bbox,
+        "perc_geo_shapes": _q_perc_geo_shapes,
+        "bm25_brute": _q_bm25_brute,
+        "bm25_topk": _q_bm25_topk,
+        "dedup_exact": _q_dedup_exact,
+        "minhash16": _q_minhash16,
+        "simhash64": _q_simhash64,
+        "lsh_pairs": _q_lsh_pairs,
+        "tokstats": _q_tokstats,
+        "quality": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "ann_cosine": _q_ann_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25 = bm25_brute_sql("documents", BM25_QUERY_TERMS, BM25_K)
+    out = {
+        "perc_events": percolation_oracle_sql(
+            {fid: dnf for fid, dnf in _dnfs(EVENTS_FILTERS).items()},
+            _EVENTS_ORACLE_TABLE,
+            "event_id",
+        ),
+        "perc_lineitem": percolation_oracle_sql(
+            _dnfs(LINEITEM_FILTERS), _LINEITEM_ORACLE_TABLE, "line_id"
+        ),
+        "perc_documents": percolation_oracle_sql(_dnfs(DOCUMENTS_FILTERS), "documents", "doc_id"),
+        "perc_geo_bbox": _geo_bbox_oracle(),
+        "bm25_brute": bm25,
+        "bm25_topk": bm25,
+        "dedup_exact": dedup.exact_groups_sql("documents"),
+        "minhash16": dedup.minhash_signatures_sql("documents", num_perm=16),
+        "tokstats": text.token_stats_sql("documents"),
+        "quality": text.quality_score_sql("documents"),
+        "langid": text.language_id_sql("documents"),
+        "fingerprint": text.fingerprint_sql("documents"),
+        "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
+        # simhash64 / lsh_pairs / ann_lsh / media_features / perc_geo_shapes:
+        # intentionally no oracle (UDF-hash / LSH bucketing / stubbed media /
+        # haversine+winding not SQL-reproducible bit-exactly) → rows-only.
+    }
+    return out
+
+
+def _dnfs(filters: list[dict]) -> dict[str, list[list[dict]]]:
+    k = _build(filters)
+    eng = k.engines[None]
+    return dict(eng.filters)
+
+
+def _geo_bbox_oracle() -> str:
+    """bbox percolation is pure comparisons — exact in SQL."""
+    k = _build(GEO_BBOX_FILTERS)
+    eng = k.engines[None]
+    selects = []
+    table = _geo_oracle_where_table()
+    for fid in sorted(eng.filters):
+        dnf = eng.filters[fid]
+        ors = []
+        for clause in dnf:
+            ands = []
+            for cond in clause:
+                spec = cond["geospatial"]["geoBoundingBox"]["pos"]
+                inside = (
+                    f"(lat <= {spec['top']!r} AND lat >= {spec['bottom']!r}"
+                    f" AND lon >= {spec['left']!r} AND lon <= {spec['right']!r})"
+                )
+                ands.append(f"NOT {inside}" if cond.get("not") else inside)
+            ors.append("(" + " AND ".join(ands) + ")")
+        selects.append(
+            f"SELECT event_id, '{fid}' AS filter_id FROM {table} WHERE {' OR '.join(ors)}"
+        )
+    return "\nUNION ALL\n".join(selects)

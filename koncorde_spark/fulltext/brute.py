@@ -1,0 +1,95 @@
+"""Pure-Catalyst BM25 (no index): tokenize/explode/agg entirely JVM-side.
+
+Used as (a) a driver-gate cross-check of the tokenizer + score formula
+against DuckDB, and (b) the no-index baseline the posting-list engine must
+beat. The plan is scan → explode → two hash aggregations → broadcast join
+→ sort-limit; fine at small scale, O(total tokens) at large scale — which
+is exactly why the indexed path exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline.text import tokens_col
+
+
+def bm25_brute_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = 6,
+) -> DataFrame:
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("__toks")).withColumn(
+        "dl", F.size("__toks")
+    )
+    stats = d.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    tf = (
+        d.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = (
+        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("__s", score)
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_brute_sql(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_brute_topk` (identical tokens + formula)."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    tf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      WHERE term IN ({terms})
+      GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.{id_col},
+             sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
+      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
+      GROUP BY tf.{id_col}
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score
+    FROM scored
+    ORDER BY score DESC, {id_col} ASC
+    LIMIT {k}
+    """

@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (100 TB):
+- exact: one hash-aggregate on sha256(text) — map-side combine, no skew
+  (hashes are uniform).
+- MinHash: signatures are computed entirely with Catalyst higher-order
+  functions (token shingles → 60-bit md5 ids → affine-permutation mins) —
+  JVM-side, codegen'd, and *bit-identical* to the DuckDB oracle because
+  the permutation constants are frozen literals in both SQL dialects.
+- LSH: band signatures → groupBy(band, sig) bucket join; candidate pairs
+  only within buckets (the standard shuffle-bounded near-dup pipeline);
+  exact Jaccard verify on the candidates.
+- SimHash: 64-bit signatures via a vectorized Arrow UDF (numpy bit ops),
+  banded into 4×16-bit chunks for Hamming-≤3 candidate generation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import tokens_col, tokens_sql
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, keep_id, is_dup): keep_id = min id among identical texts."""
+    h = F.sha2(F.col(text_col), 256).alias("__h")
+    w = Window.partitionBy("__h")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "keep_id",
+            (F.col(id_col) != F.col("keep_id")).alias("is_dup"),
+        )
+    )
+
+
+def exact_groups_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {id_col},
+           min({id_col}) OVER (PARTITION BY sha256({text_col})) AS keep_id,
+           {id_col} <> min({id_col}) OVER (PARTITION BY sha256({text_col})) AS is_dup
+    FROM {table}
+    """
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivors only (keep lowest id per identical text)."""
+    g = exact_groups(df, text_col, id_col)
+    return df.join(g.where(~F.col("is_dup")).select(id_col), id_col, "semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Frozen affine-permutation constants (a, b) — embedded as literals in
+    both the Spark plan and the DuckDB oracle SQL."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MINHASH_PRIME, size=num_perm, dtype=np.int64)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def _shingles_expr(text_col: str, k: int):
+    """Token k-gram shingles → 60-bit md5 ids (Catalyst, JVM-side).
+
+    Guarded with CASE: Spark's sequence(1, 0) would generate a *descending*
+    [1, 0] rather than an empty array, so short docs get an explicit
+    empty shingle list (→ null minhash, same as the DuckDB twin).
+    """
+    toks_sql_expr = f"array_remove(split(lower({text_col}), '[^a-z0-9_]+'), '')"
+    return F.expr(
+        f"""
+        CASE WHEN size({toks_sql_expr}) >= {k} THEN
+          transform(
+            sequence(1, size({toks_sql_expr}) - {k - 1}),
+            i -> cast(conv(substring(md5(concat_ws(' ',
+                   slice({toks_sql_expr}, i, {k}))), 1, 15), 16, 10) as bigint)
+          )
+        ELSE array()
+        END
+        """
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) minhash signature columns, bit-identical to the
+    SQL twin. Docs with < k tokens get null signatures."""
+    params = minhash_params(num_perm, seed)
+    sh = _shingles_expr(text_col, shingle_k).alias("__sh")
+    base = df.select(F.col(id_col), sh)
+    p = MINHASH_PRIME
+    cols = []
+    for i, (a, b) in enumerate(params):
+        cols.append(
+            F.expr(
+                f"array_min(transform(__sh, x -> pmod({a} * pmod(x, {p}) + {b}, {p})))"
+            ).alias(f"mh_{i}")
+        )
+    return base.select(id_col, *cols)
+
+
+def minhash_signatures_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    params = minhash_params(num_perm, seed)
+    t = tokens_sql(text_col)
+    p = MINHASH_PRIME
+    k = shingle_k
+    sh = f"""
+      list_transform(
+        range(1, greatest(len({t}) - {k - 1}, 0) + 1),
+        i -> ('0x' || substr(md5(array_to_string(list_slice({t}, i, i + {k - 1}), ' ')), 1, 15))::BIGINT
+      )
+    """
+    cols = []
+    for i, (a, b) in enumerate(params):
+        cols.append(
+            f"list_aggregate(list_transform({sh}, x -> ({a} * (x % {p}) + {b}) % {p}), 'min') AS mh_{i}"
+        )
+    return f"SELECT {id_col}, {', '.join(cols)} FROM {table}"
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join, emit candidate pairs.
+
+    Pairs (a < b) that collide in ≥1 band. Shuffle volume is bounded by
+    bucket sizes; at scale add a bucket-size cap + salting for degenerate
+    buckets (all-identical docs).
+    """
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        sig = F.concat_ws(
+            ":", *[F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact token-shingle Jaccard for candidate pairs (verification step)."""
+    sh = F.array_distinct(_shingles_expr(text_col, shingle_k)).alias("__sh")
+    docs = df.select(F.col(id_col), sh)
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.__sh", "b.__sh"))
+                / F.greatest(F.size(F.array_union("a.__sh", "b.__sh")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text: sign of tf-weighted token-hash bit sums."""
+    from ..fulltext.tokenizer import tokenize_text
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = tokenize_text(text or "")
+        if not toks:
+            continue
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                for t in terms
+            ),
+            dtype=np.uint64,
+            count=len(terms),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) via a vectorized Arrow batch UDF."""
+    udf = F.pandas_udf(_simhash_batch, T.LongType())
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Band the 64-bit simhash into 4×16-bit chunks; by pigeonhole any pair
+    with Hamming ≤ 3 collides in ≥1 chunk. Verify with bit_count."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    e = sigs.select(id_col, "simhash", *chunks)
+    out = None
+    for i in range(4):
+        l, r = e.alias("l"), e.alias("r")
+        p = l.join(
+            r,
+            (F.col(f"l.c{i}") == F.col(f"r.c{i}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.where(F.col("hamming") <= max_hamming).distinct()
