@@ -16,11 +16,18 @@ without the filter — no in-place surgical teardown.
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 import numpy as np
 import pandas as pd
+
+# pandas warns when str.contains gets a pattern with groups; matching
+# intent here is a plain boolean test, groups are incidental
+warnings.filterwarnings(
+    "ignore", message="This pattern is interpreted as a regular expression"
+)
 
 from ..geo.geopoint import convert_geopoint
 from ..geo.shapes import Annulus, BBox, Circle, GeoShape, Polygon, cells_hash_for_points

@@ -20,7 +20,11 @@ from typing import Any
 
 from .geohash import decode as geohash_decode
 
-_GEOHASH_RE = re.compile(r"^[0-9a-z]{4,}$")
+# The reference accepts any [0-9a-z]{4,} string and lets ngeohash produce
+# garbage coordinates for non-base32 chars (a/i/l/o); the observable match
+# behavior is "invalid point". We reject those strings outright — same
+# observable behavior, no NaN propagation.
+_GEOHASH_RE = re.compile(r"^[0-9bcdefghjkmnpqrstuvwxyz]{4,}$")
 _SNAKE_KEYS = {"lat_lon": "latLon", "top_left": "topLeft", "bottom_right": "bottomRight"}
 
 

@@ -1,0 +1,182 @@
+"""Full-text track tests: codecs (property-based), WAND rank-identity vs
+the pandas oracle, content-sha lineage invariant, manifest resume,
+SQL-vs-python shard parity."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from koncorde_spark.fulltext.codecs import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from koncorde_spark.fulltext.oracle import bm25_oracle_topk
+from koncorde_spark.fulltext.tokenizer import tokenize_text
+from koncorde_spark.fulltext.wand import TermPostings, bm25_idf, topk_block_max_wand
+
+
+class TestCodecs:
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+    @settings(max_examples=50, deadline=None)
+    def test_varint_roundtrip(self, values):
+        arr = np.asarray(values, dtype=np.uint64)
+        out = varint_decode(varint_encode(arr))
+        assert (out == arr).all()
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**62), min_size=1, max_size=500, unique=True
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_delta_roundtrip(self, values):
+        arr = np.asarray(sorted(values), dtype=np.uint64)
+        out = delta_decode(delta_encode(arr), len(arr))
+        assert (out == arr).all()
+
+    def test_count_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            varint_decode(varint_encode(np.array([1, 2, 3], dtype=np.uint64)), 5)
+
+
+class TestTokenizer:
+    def test_code_aware(self):
+        assert tokenize_text("foo.bar(baz_qux)") == ["foo", "bar", "baz_qux"]
+        assert tokenize_text("IMPORT X2; return") == ["import", "x2", "return"]
+        assert tokenize_text("") == []
+        assert tokenize_text("...") == []
+
+
+def _mk_postings(rng, n_docs, n_terms, k1=1.2, b=0.75, block_size=8):
+    """Random postings with correct block metadata for the WAND test."""
+    terms = []
+    universe = np.sort(rng.choice(np.arange(1, 10**9), size=n_docs, replace=False))
+    dls = rng.integers(10, 500, size=n_docs).astype(np.float64)
+    avgdl = dls.mean()
+    truth = {}
+    n = n_docs
+    for t in range(n_terms):
+        cnt = int(rng.integers(1, n_docs))
+        sel = np.sort(rng.choice(n_docs, size=cnt, replace=False))
+        ids = universe[sel]
+        tfs = rng.integers(1, 20, size=cnt).astype(np.float64)
+        idf = float(bm25_idf(n, cnt))
+        tfpart = tfs * (k1 + 1) / (tfs + k1 * (1 - b + b * dls[sel] / avgdl))
+        scores = idf * tfpart
+        nb = (cnt + block_size - 1) // block_size
+        bl = np.array([ids[min((i + 1) * block_size, cnt) - 1] for i in range(nb)])
+        bm = np.array([scores[i * block_size : (i + 1) * block_size].max() for i in range(nb)])
+        terms.append(
+            TermPostings(
+                doc_ids=ids.astype(np.int64),
+                scores=scores,
+                block_last=bl.astype(np.int64),
+                block_ub=bm,
+                block_size=block_size,
+            )
+        )
+        for d, s in zip(ids, scores):
+            truth[d] = truth.get(d, 0.0) + s
+    return terms, truth
+
+
+class TestWand:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_wand_equals_exhaustive(self, seed):
+        rng = np.random.default_rng(seed)
+        terms, truth = _mk_postings(rng, n_docs=400, n_terms=4)
+        ids, scores = topk_block_max_wand(terms, 10)
+        exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(ids) == [d for d, _ in exp]
+        assert np.allclose(scores, [s for _, s in exp], atol=1e-12)
+
+    def test_wand_pruning_path(self):
+        # force the non-exhaustive branch: > 2^17 total entries
+        rng = np.random.default_rng(7)
+        n = 140_000
+        ids = np.sort(rng.choice(np.arange(1, 10**9), size=n, replace=False)).astype(np.int64)
+        scores = rng.random(n) * 5
+        bs = 128
+        nb = (n + bs - 1) // bs
+        bl = np.array([ids[min((i + 1) * bs, n) - 1] for i in range(nb)], dtype=np.int64)
+        bm = np.array([scores[i * bs : (i + 1) * bs].max() for i in range(nb)])
+        t = TermPostings(ids, scores, bl, bm, bs)
+        got_ids, got_scores = topk_block_max_wand([t], 25)
+        order = np.lexsort((ids, -scores))[:25]
+        assert list(got_ids) == list(ids[order])
+        assert np.allclose(got_scores, scores[order], atol=0)
+
+
+@pytest.mark.spark
+class TestIndexSpark:
+    def test_sha_invariant(self, spark, small_corpus_pdf, bm25_index_dir):
+        """content_sha stored per doc equals sha256 of the source content."""
+        import hashlib
+
+        docs = spark.read.parquet(os.path.join(bm25_index_dir, "docs")).toPandas()
+        src = {
+            (r.repo, r.path): hashlib.sha256(r.content.encode()).hexdigest()
+            for r in small_corpus_pdf.itertuples()
+        }
+        assert len(docs) == len(small_corpus_pdf)
+        for r in docs.itertuples():
+            assert src[(r.repo, r.path)] == r.content_sha
+
+    def test_rank_identical_vs_oracle(self, spark, small_corpus_pdf, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        for q, k in [
+            ("import ident_00001", 10),
+            ("ident_00042 ident_00100 return", 25),
+            ("def function import return", 10),
+            ("missingterm_zzz", 5),
+        ]:
+            got = idx.topk(q, k).toPandas()
+            exp = bm25_oracle_topk(small_corpus_pdf, q, k)
+            assert list(got["doc_id"]) == list(exp["doc_id"]), q
+            assert np.allclose(got["score"], exp["score"], atol=1e-9), q
+
+    def test_manifests_exist(self, bm25_index_dir):
+        for stage in ("docs", "postings"):
+            d = os.path.join(bm25_index_dir, "_manifests", stage)
+            files = os.listdir(d)
+            assert len(files) == 4
+            m = json.load(open(os.path.join(d, files[0])))
+            assert {"shard", "rows", "config"} <= set(m)
+
+    def test_resume_skips_completed(self, spark, small_corpus_pdf, bm25_index_dir):
+        """Re-running build with complete manifests must not rewrite postings."""
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+
+        postings_dir = os.path.join(bm25_index_dir, "postings")
+        before = max(
+            os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(postings_dir)
+            for f in fs
+        )
+        corpus = spark.createDataFrame(small_corpus_pdf).repartition(4)
+        build_index(spark, corpus, bm25_index_dir, IndexConfig(n_shards=4), resume=True)
+        after = max(
+            os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(postings_dir)
+            for f in fs
+        )
+        assert after == before
+
+    def test_sql_shard_parity(self, spark, small_corpus_pdf):
+        from koncorde_spark.fulltext.indexer import doc_id_of, sql_shard_col
+
+        corpus = spark.createDataFrame(small_corpus_pdf.head(100))
+        rows = corpus.withColumn("s", sql_shard_col(8)).select(
+            "repo", "path", "commit", "s"
+        ).collect()
+        for r in rows:
+            assert doc_id_of(r["repo"], r["path"], r["commit"]) % 8 == r["s"]

@@ -1,0 +1,174 @@
+"""Pipeline-operator tests: dedup (exact / minhash / simhash / LSH),
+similarity (brute + ANN recall), text ops, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F
+
+from koncorde_spark.pipeline import dedup, similarity, text
+from koncorde_spark.pipeline.multimodal import (
+    feature_extract,
+    frame_sample,
+    synthetic_media_df,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog today", "en"),  # near dup
+        (3, "der schnelle braune fuchs springt und das ist gut", "de"),
+        (4, "le renard brun rapide saute et est pour les bons", "fr"),
+        (5, "completely different content about spark and data", "en"),
+        (6, "x", "en"),  # too short for shingles
+        (7, "the of and to in is it that for was", "en"),  # all stopwords
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+class TestExactDedup:
+    def test_groups(self, docs_df):
+        g = dedup.exact_groups(docs_df).toPandas().set_index("doc_id")
+        assert g.loc[1, "keep_id"] == 0 and bool(g.loc[1, "is_dup"])
+        assert not bool(g.loc[0, "is_dup"])
+        assert not bool(g.loc[2, "is_dup"])
+
+    def test_survivors(self, docs_df):
+        out = dedup.exact_dedup(docs_df).toPandas()
+        assert sorted(out["doc_id"]) == [0, 2, 3, 4, 5, 6, 7]
+
+
+class TestMinhashLsh:
+    def test_signature_identical_for_identical_docs(self, docs_df):
+        sigs = dedup.minhash_signatures(docs_df, num_perm=16).toPandas().set_index("doc_id")
+        assert (sigs.loc[0] == sigs.loc[1]).all()
+
+    def test_short_doc_null_signature(self, docs_df):
+        sigs = dedup.minhash_signatures(docs_df, num_perm=16).toPandas().set_index("doc_id")
+        assert sigs.loc[6].isna().all()
+
+    def test_lsh_finds_exact_and_near_dups(self, docs_df):
+        sigs = dedup.minhash_signatures(docs_df, num_perm=16)
+        pairs = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=8).toPandas()
+        pairset = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert (0, 1) in pairset  # exact dup always collides
+        verified = dedup.jaccard_pairs(
+            docs_df, dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=8)
+        ).toPandas()
+        j = {(a, b): v for a, b, v in verified.itertuples(index=False)}
+        assert j[(0, 1)] == 1.0
+
+    def test_minhash_jaccard_estimate(self, spark):
+        """MinHash property: signature agreement ≈ true Jaccard."""
+        a = "w" + " w".join(str(i) for i in range(200))
+        b = "w" + " w".join(str(i) for i in range(100, 300))
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": [a, b]}))
+        sigs = dedup.minhash_signatures(df, num_perm=128).toPandas().set_index("doc_id")
+        agree = (sigs.loc[0].to_numpy() == sigs.loc[1].to_numpy()).mean()
+        # token 3-gram shingle jaccard of the two ranges
+        from koncorde_spark.fulltext.tokenizer import tokenize_text
+
+        def sh(t):
+            tk = tokenize_text(t)
+            return {tuple(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+        true_j = len(sh(a) & sh(b)) / len(sh(a) | sh(b))
+        assert abs(agree - true_j) < 0.15
+
+
+class TestSimhash:
+    def test_identical_same_hash(self, docs_df):
+        s = dedup.simhash(docs_df).toPandas().set_index("doc_id")
+        assert s.loc[0, "simhash"] == s.loc[1, "simhash"]
+
+    def test_near_dup_small_hamming(self, docs_df):
+        s = dedup.simhash(docs_df).toPandas().set_index("doc_id")
+        h02 = bin(int(s.loc[0, "simhash"]) ^ int(s.loc[2, "simhash"])).count("1")
+        h05 = bin(int(s.loc[0, "simhash"]) ^ int(s.loc[5, "simhash"])).count("1")
+        assert h02 < h05
+
+    def test_candidate_pairs(self, docs_df):
+        sigs = dedup.simhash(docs_df)
+        pairs = dedup.simhash_candidate_pairs(sigs, max_hamming=0).toPandas()
+        assert {(0, 1)} == {(a, b) for a, b, _ in pairs.itertuples(index=False)}
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+        return spark.createDataFrame(pdf), vecs
+
+    def test_brute_topk_matches_numpy(self, emb_df):
+        df, vecs = emb_df
+        q = vecs[0].astype(np.float64)
+        got = similarity.cosine_topk(df, q.tolist(), 10).toPandas()
+        cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((np.arange(200), -np.round(cos, 9)))[:10]
+        assert list(got["vec_id"]) == list(order)
+        assert got.iloc[0]["vec_id"] == 0 and got.iloc[0]["cosine"] == pytest.approx(1.0)
+
+    def test_ann_recall(self, emb_df):
+        df, vecs = emb_df
+        q = vecs[0].astype(np.float64)
+        exact = set(similarity.cosine_topk(df, q.tolist(), 10).toPandas()["vec_id"])
+        ann = set(similarity.ann_topk(df, q.tolist(), 10, bits=4).toPandas()["vec_id"])
+        # LSH with 4 bits + multiprobe-1 probes 5/16 of the space; recall
+        # must at least find the identical vector and some neighbors
+        assert 0 in ann
+        assert len(exact & ann) >= 3
+
+
+class TestText:
+    def test_token_stats(self, docs_df):
+        out = text.token_stats(docs_df).toPandas().set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 9
+        assert out.loc[6, "n_tokens"] == 1
+
+    def test_langid(self, docs_df):
+        out = text.language_id(docs_df).toPandas().set_index("doc_id")
+        assert out.loc[0, "pred_lang"] == "en"
+        assert out.loc[3, "pred_lang"] == "de"
+        assert out.loc[4, "pred_lang"] == "fr"
+        assert out.loc[6, "pred_lang"] == "und"
+
+    def test_quality(self, docs_df):
+        out = text.quality_score(docs_df).toPandas().set_index("doc_id")
+        assert out.loc[7, "stopword_ratio"] == 1.0
+        assert out.loc[5, "stopword_ratio"] < 0.5
+        assert out.loc[0, "lexical_diversity"] == pytest.approx(8 / 9, abs=1e-6)
+
+    def test_fingerprint_whitespace_invariant(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a  b\tc", "A B C"]})
+        )
+        out = text.fingerprint(df).toPandas()
+        assert out.loc[0, "fp_md5"] == out.loc[1, "fp_md5"]
+
+
+class TestMultimodal:
+    def test_feature_extract_deterministic(self, spark):
+        media = synthetic_media_df(spark, n_rows=30)
+        f1 = feature_extract(media).toPandas().sort_values("media_id")
+        f2 = feature_extract(media).toPandas().sort_values("media_id")
+        assert (f1["content_sha"].values == f2["content_sha"].values).all()
+        assert all(len(v) == 32 for v in f1["features"])
+
+    def test_decode_stub_raises(self, spark):
+        media = synthetic_media_df(spark, n_rows=3)
+        with pytest.raises(Exception):
+            feature_extract(media, decode=True).collect()
+
+    def test_frame_sample(self, spark):
+        media = synthetic_media_df(spark, n_rows=30)
+        fs = frame_sample(media, every_n=100).toPandas()
+        vids = media.where(F.col("kind") == "video").count()
+        assert fs["media_id"].nunique() == vids
