@@ -1,0 +1,150 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": "suite_total", "value": <sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": <sf>, ...derived throughputs}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32),
+     BENCH_CORPUS_ROWS (default 20000) synthetic corpus size for the
+     index-build / dedup measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    corpus_rows = int(os.environ.get("BENCH_CORPUS_ROWS", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from koncorde_spark.spark import get_spark
+
+    spark = get_spark(app_name="koncorde-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from koncorde_spark.fulltext.brute import bm25_brute_topk
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.pipeline import dedup, similarity
+    from koncorde_spark.sources import synthetic_corpus_df
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # --- percolation over driver testdata --------------------------------
+    n_events = timed(
+        "perc_events", lambda: E._q_perc_events(spark, sf_dir).count()
+    )
+    ev_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    extra["perc_events_docs_per_sec"] = round(ev_rows / queries["perc_events"], 1)
+
+    timed("perc_lineitem", lambda: E._q_perc_lineitem(spark, sf_dir).count())
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    extra["perc_lineitem_docs_per_sec"] = round(li_rows / queries["perc_lineitem"], 1)
+
+    timed("perc_geo_shapes", lambda: E._q_perc_geo_shapes(spark, sf_dir).count())
+
+    # --- BM25 index build + query -----------------------------------------
+    corpus = synthetic_corpus_df(spark, n_rows=corpus_rows, seed=42,
+                                 partitions=cpus).cache()
+    corpus.count()  # materialize so build time excludes generation
+    idx_dir = "/tmp/koncorde_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    timed(
+        "bm25_index_build",
+        lambda: build_index(spark, corpus, idx_dir, IndexConfig(n_shards=cpus),
+                            resume=False),
+    )
+    extra["index_build_files_per_sec"] = round(corpus_rows / queries["bm25_index_build"], 1)
+
+    idx = Bm25Index(spark, idx_dir)
+    qset = [
+        "import ident_00001", "return ident_00123 ident_00456",
+        "def function", "ident_00007", "import return def",
+        "ident_01000 ident_02000", "function ident_00033 import",
+        "ident_00002 return", "ident_00500", "import",
+    ]
+    lat = []
+    t0 = time.time()
+    for q in qset:
+        tq = time.time()
+        idx.topk(q, 10).collect()
+        lat.append(time.time() - tq)
+    queries["bm25_topk_x10"] = round(time.time() - t0, 3)
+    extra["bm25_p95_sec"] = round(float(np.percentile(lat, 95)), 3)
+    extra["bm25_p50_sec"] = round(float(np.percentile(lat, 50)), 3)
+
+    timed(
+        "bm25_brute_1q",
+        lambda: bm25_brute_topk(
+            corpus, ["import", "ident_00001"], 10, text_col="content",
+            id_col="path",
+        ).collect(),
+    )
+
+    # --- dedup / similarity ----------------------------------------------
+    import pyspark.sql.functions as F
+
+    # agg over computed columns forces full evaluation (count() would let
+    # Catalyst prune the expensive expressions away)
+    timed(
+        "dedup_exact",
+        lambda: dedup.exact_groups(corpus, "content", "path")
+        .agg(F.sum(F.col("is_dup").cast("long")))
+        .collect(),
+    )
+    timed(
+        "minhash16",
+        lambda: dedup.minhash_signatures(corpus, "content", "path", num_perm=16)
+        .agg(*[F.sum(f"mh_{i}") for i in range(16)])
+        .collect(),
+    )
+
+    rng = np.random.default_rng(5)
+    import pandas as pd
+
+    vecs = rng.standard_normal((50000, 64)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    ).repartition(cpus).cache()
+    emb.count()
+    qv = [float(x) for x in vecs[0]]
+    timed("ann_brute_50k", lambda: similarity.cosine_topk(emb, qv, 10).collect())
+    timed("ann_lsh_50k", lambda: similarity.ann_topk(emb, qv, 10, bits=10).collect())
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "corpus_rows": corpus_rows,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

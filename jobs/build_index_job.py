@@ -1,0 +1,56 @@
+"""spark-submit entry point: build the BM25 index over a corpus.
+
+Usage:
+    spark-submit --py-files koncorde_spark.zip jobs/build_index_job.py \
+        --input  <parquet or iceberg table with (repo,path,commit,lang,content)> \
+        --output <index dir> [--shards 32] [--synthetic-rows N]
+
+With --synthetic-rows the deterministic generator is used instead of
+--input (for smoke tests without data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--synthetic-rows", type=int, default=0)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("koncorde-build-index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.sources import synthetic_corpus_df
+
+    if args.synthetic_rows:
+        corpus = synthetic_corpus_df(spark, n_rows=args.synthetic_rows, seed=42)
+    elif args.input and args.input.count(".") and "/" not in args.input:
+        corpus = spark.read.table(args.input)  # Iceberg / catalog table
+    elif args.input:
+        corpus = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("either --input or --synthetic-rows is required")
+
+    meta = build_index(
+        spark,
+        corpus,
+        args.output,
+        IndexConfig(n_shards=args.shards),
+        resume=not args.no_resume,
+    )
+    print(json.dumps(meta))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,33 +25,43 @@ def bm25_brute_topk(
     b: float = 0.75,
     round_to: int | None = 6,
 ) -> DataFrame:
-    d = df.select(F.col(id_col), tokens_col(text_col).alias("__toks")).withColumn(
-        "dl", F.size("__toks")
-    )
-    stats = d.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    d = df.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).alias("dl"),
+        # prune to query terms BEFORE exploding: the explode then carries
+        # only matching tokens instead of the full token stream
+        F.filter(tokens_col(text_col), lambda t: F.array_contains(qarr, t)).alias("__qt"),
+    ).persist()  # one tokenize pass feeds both the stats agg and the tf agg
+    try:
+        stats = d.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
-    tf = (
-        d.select(id_col, "dl", F.explode("__toks").alias("term"))
-        .where(F.col("term").isin(query_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    score = (
-        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * F.col("tf") * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .withColumn("__s", score)
-        .groupBy(id_col)
-        .agg(F.sum("__s").alias("score"))
-    )
-    if round_to is not None:
-        scored = scored.withColumn("score", F.round("score", round_to))
-    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        tf = (
+            d.where(F.size("__qt") > 0)
+            .select(id_col, "dl", F.explode("__qt").alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        score = (
+            F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+        scored = (
+            tf.join(F.broadcast(dfreq), "term")
+            .withColumn("__s", score)
+            .groupBy(id_col)
+            .agg(F.sum("__s").alias("score"))
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        out = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        out = out.localCheckpoint()  # materialize while d is cached
+        return out
+    finally:
+        d.unpersist()
 
 
 def bm25_brute_sql(

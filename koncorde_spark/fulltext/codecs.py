@@ -54,6 +54,63 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return out
 
 
+def varint_encode_groups(values: np.ndarray, group_offsets: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode many concatenated groups in ONE vectorized pass.
+
+    ``group_offsets``: int64 array of length n_groups+1 delimiting groups in
+    ``values``. Returns (buffer, byte_offsets) where byte_offsets[i] is the
+    start byte of group i in the buffer (length n_groups+1).
+    """
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b"", np.zeros(len(group_offsets), dtype=np.int64)
+    nb = np.ones(arr.shape, dtype=np.int64)
+    for i in range(1, _MAX_VARINT_BYTES):
+        nb += (arr >= (np.uint64(1) << np.uint64(7 * i))).astype(np.int64)
+    starts = np.cumsum(nb) - nb
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for i in range(_MAX_VARINT_BYTES):
+        sel = nb > i
+        if not sel.any():
+            break
+        byte = (arr[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        cont = (nb[sel] > i + 1).astype(np.uint8) << 7
+        out[starts[sel] + i] = byte.astype(np.uint8) | cont
+    byte_cum = np.concatenate(([0], np.cumsum(nb)))
+    byte_offsets = byte_cum[group_offsets]
+    return out.tobytes(), byte_offsets.astype(np.int64)
+
+
+def delta_encode_groups(
+    sorted_ids: np.ndarray, group_offsets: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Delta+varint encode many groups at once (deltas reset per group)."""
+    arr = np.asarray(sorted_ids, dtype=np.uint64)
+    if arr.size == 0:
+        return b"", np.zeros(len(group_offsets), dtype=np.int64)
+    deltas = arr.copy()
+    deltas[1:] = arr[1:] - arr[:-1]
+    starts = group_offsets[:-1]
+    deltas[starts] = arr[starts]
+    return varint_encode_groups(deltas, group_offsets)
+
+
+def delta_decode_groups(deltas: np.ndarray, group_offsets: np.ndarray) -> np.ndarray:
+    """Inverse of per-group delta encoding over concatenated groups.
+
+    ``deltas``: already varint-decoded concatenated group deltas (first
+    element of each group is absolute). One global cumsum + a per-group
+    rebase — no per-group Python.
+    """
+    if len(deltas) == 0:
+        return np.empty(0, dtype=np.uint64)
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = group_offsets[:-1]
+    counts = np.diff(group_offsets)
+    base = c[starts] - deltas[starts]
+    return c - np.repeat(base, counts)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
     """Delta + varint encode a strictly-increasing int64 array."""
     arr = np.asarray(sorted_ids, dtype=np.uint64)

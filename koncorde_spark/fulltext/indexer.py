@@ -44,7 +44,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codecs import delta_decode, delta_encode, varint_decode, varint_encode
+from .codecs import (
+    delta_decode,
+    delta_decode_groups,
+    delta_encode,
+    delta_encode_groups,
+    varint_decode,
+    varint_encode,
+    varint_encode_groups,
+)
 from .tokenizer import tokenize_series
 
 K1_DEFAULT = 1.2
@@ -79,10 +87,19 @@ DOCS_SCHEMA = T.StructType(
 PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
-        T.StructField("shard", T.IntegerType()),
+        T.StructField("salt", T.IntegerType()),
         T.StructField("n", T.LongType()),
         T.StructField("doc_ids", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+    ]
+)
+
+DLPACK_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("doc_ids", T.BinaryType()),
         T.StructField("dls", T.BinaryType()),
     ]
 )
@@ -163,101 +180,159 @@ def _docs_stage_fn(n_shards: int):
 # ---------------------------------------------------------------------------
 
 
+# Salting threshold: only terms present in >20% of a partition's documents
+# are split by doc-shard. The point of salting is bounding the few
+# pathological merge groups ('import', 'return'); a lower threshold
+# multiplies partial-row count (vocab × shards) for no skew benefit.
+HOT_TERM_BATCH_FRACTION = 0.20
+
+
 def _partials_fn(n_shards: int):
-    """Tokenize + per-input-partition partial postings (map-side combine)."""
+    """Tokenize + per-input-partition partial postings (map-side combine).
+
+    Partial key is (term, salt): salt 0 for the long tail, doc-shard for
+    hot terms (seen in > HOT_TERM_BATCH_FRACTION of the partition's docs).
+    Salting splits the merge groups of skewed terms like 'import'/'return'
+    across n_shards reducers — explicit skew control for the one shuffle
+    this stage performs. Everything below is numpy; the only Python loop
+    is O(groups) byte-slicing.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            n_docs = len(pdf)
             doc_ids = _doc_ids_series(pdf["repo"], pdf["path"], pdf["commit"])
-            shards = (doc_ids % n_shards).astype(np.int32)
+            shards = (doc_ids % n_shards).astype(np.int64)
             token_lists = tokenize_series(pdf["content"])
-            dls = token_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-
-            # flatten to (term, row) pairs, then tf per (row, term) via
-            # np.unique over a combined key — vectorized, no Counter loops
-            lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(pdf))
+            lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
             if lens.sum() == 0:
                 continue
+            dls = lens
             flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
-            flat_rows = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            flat_rows = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
             term_codes, term_uniques = pd.factorize(pd.Series(flat_terms))
-            combo = flat_rows * len(term_uniques) + term_codes
+            n_terms = len(term_uniques)
+            combo = flat_rows * n_terms + term_codes
             uniq_combo, tf = np.unique(combo, return_counts=True)
-            u_rows = (uniq_combo // len(term_uniques)).astype(np.int64)
-            u_terms = (uniq_combo % len(term_uniques)).astype(np.int64)
+            u_rows = (uniq_combo // n_terms).astype(np.int64)
+            u_terms = (uniq_combo % n_terms).astype(np.int64)
 
-            entry = pd.DataFrame(
-                {
-                    "tcode": u_terms,
-                    "shard": shards[u_rows],
-                    "doc_id": doc_ids[u_rows],
-                    "tf": tf.astype(np.int64),
-                    "dl": dls[u_rows],
-                }
-            )
-            out_rows = []
-            for (tcode, shard), grp in entry.groupby(["tcode", "shard"], sort=False):
-                order = np.argsort(grp["doc_id"].to_numpy(), kind="stable")
-                ids = grp["doc_id"].to_numpy()[order]
-                out_rows.append(
-                    (
-                        term_uniques[tcode],
-                        int(shard),
-                        len(ids),
-                        delta_encode(ids),
-                        varint_encode(grp["tf"].to_numpy()[order]),
-                        varint_encode(grp["dl"].to_numpy()[order]),
-                    )
-                )
+            # per-term df within this partition → hot set
+            df_local = np.bincount(u_terms, minlength=n_terms)
+            hot = df_local > max(2, int(HOT_TERM_BATCH_FRACTION * n_docs))
+            salt = np.where(hot[u_terms], shards[u_rows], 0).astype(np.int64)
+
+            # group by (term, salt), doc-sorted within group
+            order = np.lexsort((doc_ids[u_rows], salt, u_terms))
+            g_terms = u_terms[order]
+            g_salt = salt[order]
+            g_ids = doc_ids[u_rows][order].astype(np.uint64)
+            g_tf = tf[order].astype(np.uint64)
+            g_dl = dls[u_rows][order].astype(np.uint64)
+            key = g_terms * (n_shards + 1) + g_salt
+            bounds = np.nonzero(np.diff(key))[0] + 1
+            offsets = np.concatenate(([0], bounds, [len(key)]))
+
+            ids_buf, ids_off = delta_encode_groups(g_ids, offsets)
+            tf_buf, tf_off = varint_encode_groups(g_tf, offsets)
+            dl_buf, dl_off = varint_encode_groups(g_dl, offsets)
+
+            starts = offsets[:-1]
+            counts = np.diff(offsets)
+            ids_mv, tf_mv, dl_mv = memoryview(ids_buf), memoryview(tf_buf), memoryview(dl_buf)
             yield pd.DataFrame(
-                out_rows, columns=["term", "shard", "n", "doc_ids", "tfs", "dls"]
+                {
+                    "term": term_uniques[g_terms[starts]],
+                    "salt": g_salt[starts].astype(np.int32),
+                    "n": counts,
+                    "doc_ids": [bytes(ids_mv[ids_off[i]: ids_off[i + 1]]) for i in range(len(starts))],
+                    "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
+                    "dls": [bytes(dl_mv[dl_off[i]: dl_off[i + 1]]) for i in range(len(starts))],
+                }
             )
 
     return run
 
 
-def _merge_fn(k1: float, b: float, avgdl: float, block_size: int):
-    """Merge partials for one (term, shard) group → final posting row."""
+def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_shards: int):
+    """Merge ALL (term, salt) groups in one shuffle partition, vectorized.
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key
-        ids_parts, tf_parts, dl_parts = [], [], []
-        for _, row in pdf.iterrows():
-            n = int(row["n"])
-            ids_parts.append(delta_decode(bytes(row["doc_ids"]), n).astype(np.int64))
-            tf_parts.append(varint_decode(bytes(row["tfs"]), n).astype(np.int64))
-            dl_parts.append(varint_decode(bytes(row["dls"]), n).astype(np.int64))
-        ids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
-        order = np.argsort(ids, kind="stable")
+    Rows arrive hash-partitioned by (term, salt); within the partition we
+    decode all partials into flat arrays, lexsort by (term, shard, doc),
+    compute block-max metadata with one np.maximum.reduceat, and re-encode
+    every output group in two vectorized codec passes. A term may emit
+    several segment rows per shard (one per salt) — BM25 scoring is
+    additive per posting entry, so segments are exact, and df is summed at
+    the stats stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        counts = pdf["n"].to_numpy(dtype=np.int64)
+        # one vectorized decode for the whole partition: varints are
+        # self-delimiting, so the concatenated buffers decode in one pass
+        row_offsets = np.concatenate(([0], np.cumsum(counts)))
+        ids = delta_decode_groups(
+            varint_decode(b"".join(pdf["doc_ids"]), int(counts.sum())), row_offsets
+        ).astype(np.int64)
+        tfs = varint_decode(b"".join(pdf["tfs"]), int(counts.sum())).astype(np.float64)
+        dls = varint_decode(b"".join(pdf["dls"]), int(counts.sum())).astype(np.float64)
+        term_codes_row, term_uniques = pd.factorize(pdf["term"])
+        # remap factorize codes to lexicographic ranks so output rows are
+        # term-sorted → selective parquet row-group min/max stats for the
+        # query path's `term IN (...)` pushdown
+        lex_rank = np.empty(len(term_uniques), dtype=np.int64)
+        lex_rank[np.argsort(term_uniques)] = np.arange(len(term_uniques))
+        tcodes = np.repeat(lex_rank[term_codes_row.astype(np.int64)], counts)
+        term_by_code = np.empty(len(term_uniques), dtype=object)
+        term_by_code[lex_rank] = term_uniques
+        salts = np.repeat(pdf["salt"].to_numpy(dtype=np.int64), counts)
+        shards = ids % n_shards
+
+        order = np.lexsort((ids, shards, salts, tcodes))
         ids, tfs, dls = ids[order], tfs[order], dls[order]
+        tcodes, salts, shards = tcodes[order], salts[order], shards[order]
 
-        # per-entry idf-free score part; block max over fixed-size blocks
+        key = (tcodes * (n_shards + 1) + salts) * n_shards + shards
+        bounds = np.nonzero(np.diff(key))[0] + 1
+        offsets = np.concatenate(([0], bounds, [len(key)]))
+        starts = offsets[:-1]
+        group_n = np.diff(offsets)
+
         norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        nblocks = (len(ids) + block_size - 1) // block_size
-        block_last = [int(ids[min((i + 1) * block_size, len(ids)) - 1]) for i in range(nblocks)]
-        block_max = [
-            float(norm[i * block_size : (i + 1) * block_size].max()) for i in range(nblocks)
-        ]
-        return pd.DataFrame(
-            [
-                (
-                    term,
-                    int(shard),
-                    len(ids),
-                    delta_encode(ids),
-                    varint_encode(tfs),
-                    block_last,
-                    block_max,
-                )
-            ],
-            columns=["term", "shard", "df", "doc_ids", "tfs", "block_last", "block_max"],
+
+        # blocks: starts at group_start + block_size*k for every group
+        nblocks = (group_n + block_size - 1) // block_size
+        block_group = np.repeat(np.arange(len(starts)), nblocks)
+        within = np.concatenate([np.arange(nb) for nb in nblocks]) if len(nblocks) else np.empty(0, dtype=np.int64)
+        bstarts = starts[block_group] + within * block_size
+        bends = np.minimum(bstarts + block_size, offsets[1:][block_group]) - 1
+        bmax = np.maximum.reduceat(norm, bstarts) if len(bstarts) else np.empty(0)
+        blast = ids[bends] if len(bstarts) else np.empty(0, dtype=np.int64)
+        bcum = np.concatenate(([0], np.cumsum(nblocks)))
+
+        ids_buf, ids_off = delta_encode_groups(ids.astype(np.uint64), offsets)
+        tf_buf, tf_off = varint_encode_groups(tfs.astype(np.uint64), offsets)
+        ids_mv, tf_mv = memoryview(ids_buf), memoryview(tf_buf)
+
+        yield pd.DataFrame(
+            {
+                "term": term_by_code[tcodes[starts]],
+                "shard": shards[starts].astype(np.int32),
+                "df": group_n,
+                "doc_ids": [bytes(ids_mv[ids_off[i]: ids_off[i + 1]]) for i in range(len(starts))],
+                "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
+                "block_last": [blast[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
+                "block_max": [bmax[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
+            }
         )
 
-    return merge
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +423,10 @@ def build_index(
         docs = spark.read.parquet(docs_path)
     else:
         docs = corpus.mapInPandas(_docs_stage_fn(config.n_shards), schema=DOCS_SCHEMA)
-        docs.write.mode("overwrite").partitionBy("shard").parquet(docs_path)
+        # shard is a plain column, NOT partitionBy: hive-style partitioning
+        # here would emit n_tasks × n_shards tiny files whose driver-serial
+        # job commit dominates build time and breaks scaling
+        docs.write.mode("overwrite").parquet(docs_path)
         docs = spark.read.parquet(docs_path)
         lineage = _shard_lineage(docs)
         present = {r["shard"] for r in lineage}
@@ -360,10 +438,40 @@ def build_index(
         _write_manifests(out_dir, "docs", lineage, fp)
     metrics["docs_sec"] = time.time() - t0
 
-    stats = docs.agg(
-        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"] or 1.0)
+    # global stats come straight from the per-shard manifests (rows/tokens
+    # were aggregated during the docs stage) — no extra Spark job
+    docs_man = _read_manifests(out_dir, "docs", fp)
+    n_docs = sum(m["rows"] for m in docs_man.values())
+    total_tokens = sum(m["tokens"] for m in docs_man.values())
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+
+    # -- stage 1b: per-shard doc-length pack (query-time score lookup) -----
+    dlpack_path = os.path.join(out_dir, "dlpack")
+    dl_manifests = _read_manifests(out_dir, "dlpack", fp) if resume else {}
+    if len(dl_manifests) != config.n_shards:
+        def pack(key, pdf):
+            shard = int(key[0])
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            return pd.DataFrame(
+                [(shard, len(ids), delta_encode(ids[order].astype(np.uint64)),
+                  varint_encode(dls[order].astype(np.uint64)))],
+                columns=["shard", "n", "doc_ids", "dls"],
+            )
+
+        (
+            docs.select("shard", "doc_id", "dl")
+            .groupBy("shard")
+            .applyInPandas(pack, schema=DLPACK_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(dlpack_path)
+        )
+        man = [
+            {"shard": s, "rows": 1, "tokens": 0, "lineage_xor": docs_lineage_xor(out_dir, s, fp)}
+            for s in range(config.n_shards)
+        ]
+        _write_manifests(out_dir, "dlpack", man, fp)
 
     # -- stage 2: postings --------------------------------------------------
     t0 = time.time()
@@ -378,18 +486,46 @@ def build_index(
             src = corpus.where(
                 F.array_contains(missing_arr, sql_shard_col(config.n_shards).cast("int"))
             )
-        partials = src.mapInPandas(_partials_fn(config.n_shards), schema=PARTIAL_SCHEMA)
-        merged = partials.groupBy("term", "shard").applyInPandas(
-            _merge_fn(config.k1, config.b, avgdl, config.block_size),
+        partials = src.mapInPandas(
+            _partials_fn(config.n_shards), schema=PARTIAL_SCHEMA
+        ).persist()
+        # materialize partials BEFORE the shuffle: fusing the Python stage
+        # with the shuffle write oversubscribes memory at high local
+        # parallelism (32 python workers + shuffle sort in one task) and
+        # measurably inverts scaling; two clean stages scale linearly
+        partials.count()
+        n_merge_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        merged = partials.repartition(n_merge_parts, "term", "salt").mapInPandas(
+            _merge_partition_fn(
+                config.k1, config.b, avgdl, config.block_size, config.n_shards
+            ),
             schema=POSTINGS_SCHEMA,
         )
-        writer = merged.write.partitionBy("shard")
-        if len(missing) < config.n_shards:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            writer.mode("overwrite").parquet(postings_path)
-        else:
-            writer.mode("overwrite").parquet(postings_path)
-        postings = spark.read.parquet(postings_path)
+        # Layout: one directory per shard (partitionBy) with dynamic
+        # partition overwrite — a resume REPLACES exactly the shard dirs it
+        # recomputed, so data committed by an earlier attempt can never
+        # duplicate (plain append would double rows for a shard whose
+        # manifest was lost after a successful commit). The repartition by
+        # shard keeps the commit cheap: n_shards writer tasks × 1 file
+        # each, not n_merge_parts × n_shards tiny files; the local sort
+        # restores term order inside each file for row-group pruning.
+        full_build = len(missing) == config.n_shards
+        # full build: static overwrite wipes the whole dir (also clears
+        # stale shard dirs from an older config); subset resume: dynamic
+        # overwrite replaces only the recomputed shard dirs
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "static" if full_build else "dynamic",
+        )
+        (
+            merged.repartition(config.n_shards, "shard")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(postings_path)
+        )
+        partials.unpersist()
+        postings = spark.read.parquet(postings_path).persist()
         pl = (
             postings.groupBy("shard")
             .agg(F.count("*").alias("rows"), F.sum("df").alias("tokens"))
@@ -411,13 +547,15 @@ def build_index(
 
     # -- stage 3: term stats + meta ---------------------------------------
     t0 = time.time()
-    postings = spark.read.parquet(postings_path)
-    (
-        postings.groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .write.mode("overwrite")
-        .parquet(terms_path)
-    )
+    if missing:
+        postings.groupBy("term").agg(F.sum("df").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(terms_path)
+        postings.unpersist()
+    elif not os.path.isdir(terms_path):
+        spark.read.parquet(postings_path).groupBy("term").agg(
+            F.sum("df").alias("df")
+        ).write.mode("overwrite").parquet(terms_path)
     metrics["terms_sec"] = time.time() - t0
 
     meta = {

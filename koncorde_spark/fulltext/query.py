@@ -43,8 +43,11 @@ class Bm25Index:
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self.terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        self.terms = spark.read.parquet(os.path.join(index_dir, "terms")).cache()
         self.docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        # per-shard packed doc lengths: one row per shard, cached — avoids
+        # reshuffling the docs table on every query
+        self.dlpack = spark.read.parquet(os.path.join(index_dir, "dlpack")).cache()
 
     def topk(self, query: str, k: int = 10) -> DataFrame:
         """Top-k (doc_id, score) for a free-text query, rank-deterministic."""
@@ -63,30 +66,26 @@ class Bm25Index:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
         relevant = self.postings.where(F.col("term").isin(list(idf_map)))
-        # exact per-entry scores need each doc's length: the shard's doc
-        # lengths arrive on the cogrouped docs side (shard-local data)
-        docs_dl = self.docs.select("shard", "doc_id", "dl")
 
         k1_, b_, bs_, avgdl_ = k1, b, block_size, avgdl
         idf_map_b = idf_map
         k_ = k
 
-        def cogrouped(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(post_pdf) == 0:
+        def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(post_pdf) == 0 or len(pack_pdf) == 0:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float64")})
-            dl_ids = docs_pdf["doc_id"].to_numpy(dtype=np.int64)
-            dl_vals = docs_pdf["dl"].to_numpy(dtype=np.float64)
-            order = np.argsort(dl_ids)
-            dl_ids, dl_vals = dl_ids[order], dl_vals[order]
+            prow = pack_pdf.iloc[0]
+            n_pack = int(prow["n"])
+            dl_ids = delta_decode(bytes(prow["doc_ids"]), n_pack).astype(np.int64)
+            dl_vals = varint_decode(bytes(prow["dls"]), n_pack).astype(np.float64)
 
             tps: list[TermPostings] = []
             for _, row in post_pdf.iterrows():
                 n = int(row["df"])
                 ids = delta_decode(bytes(row["doc_ids"]), n).astype(np.int64)
                 tfs = varint_decode(bytes(row["tfs"]), n).astype(np.float64)
-                pos = np.searchsorted(dl_ids, ids)
-                dls = dl_vals[pos]
+                dls = dl_vals[np.searchsorted(dl_ids, ids)]
                 idf = idf_map_b[row["term"]]
                 tfpart = tfs * (k1_ + 1.0) / (tfs + k1_ * (1.0 - b_ + b_ * dls / avgdl_))
                 tps.append(
@@ -103,7 +102,7 @@ class Bm25Index:
 
         per_shard_topk = (
             relevant.groupBy("shard")
-            .cogroup(docs_dl.groupBy("shard"))
+            .cogroup(self.dlpack.groupBy("shard"))
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

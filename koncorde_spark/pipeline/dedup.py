@@ -77,21 +77,26 @@ def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
-def _shingles_expr(text_col: str, k: int):
+def _shingles_from_tokens(tokens_col_name: str, k: int):
     """Token k-gram shingles → 60-bit md5 ids (Catalyst, JVM-side).
+
+    MUST reference a *projected column* holding the token array: a raw
+    tokenizer expression inlined here would be re-evaluated per lambda
+    element (Catalyst does no CSE inside higher-order functions), turning
+    shingling O(tokens²) per document.
 
     Guarded with CASE: Spark's sequence(1, 0) would generate a *descending*
     [1, 0] rather than an empty array, so short docs get an explicit
     empty shingle list (→ null minhash, same as the DuckDB twin).
     """
-    toks_sql_expr = f"array_remove(split(lower({text_col}), '[^a-z0-9_]+'), '')"
+    t = tokens_col_name
     return F.expr(
         f"""
-        CASE WHEN size({toks_sql_expr}) >= {k} THEN
+        CASE WHEN size({t}) >= {k} THEN
           transform(
-            sequence(1, size({toks_sql_expr}) - {k - 1}),
+            sequence(1, size({t}) - {k - 1}),
             i -> cast(conv(substring(md5(concat_ws(' ',
-                   slice({toks_sql_expr}, i, {k}))), 1, 15), 16, 10) as bigint)
+                   slice({t}, i, {k}))), 1, 15), 16, 10) as bigint)
           )
         ELSE array()
         END
@@ -110,17 +115,23 @@ def minhash_signatures(
     """(id, mh_0..mh_{n-1}) minhash signature columns, bit-identical to the
     SQL twin. Docs with < k tokens get null signatures."""
     params = minhash_params(num_perm, seed)
-    sh = _shingles_expr(text_col, shingle_k).alias("__sh")
-    base = df.select(F.col(id_col), sh)
     p = MINHASH_PRIME
-    cols = []
-    for i, (a, b) in enumerate(params):
-        cols.append(
-            F.expr(
-                f"array_min(transform(__sh, x -> pmod({a} * pmod(x, {p}) + {b}, {p})))"
-            ).alias(f"mh_{i}")
+    # explode shingles once (each shingle md5-hashed exactly once), then one
+    # hash aggregation computes all num_perm mins — map-side partial combine
+    # keeps the shuffle at one row per (doc, perm-state), no skew (doc keys)
+    exploded = df.select(F.col(id_col), tokens_col(text_col).alias("__toks")).select(
+        F.col(id_col), F.explode(_shingles_from_tokens("__toks", shingle_k)).alias("__sid")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.pmod(F.col("__sid"), F.lit(p)) + F.lit(b), F.lit(p))).alias(
+            f"mh_{i}"
         )
-    return base.select(id_col, *cols)
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    # docs too short for any shingle keep a row with null signature,
+    # matching the SQL twin's list_aggregate([], 'min') → NULL
+    return df.select(id_col).join(sigs, id_col, "left")
 
 
 def minhash_signatures_sql(
@@ -197,8 +208,10 @@ def jaccard_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact token-shingle Jaccard for candidate pairs (verification step)."""
-    sh = F.array_distinct(_shingles_expr(text_col, shingle_k)).alias("__sh")
-    docs = df.select(F.col(id_col), sh)
+    docs = df.select(F.col(id_col), tokens_col(text_col).alias("__toks")).select(
+        F.col(id_col),
+        F.array_distinct(_shingles_from_tokens("__toks", shingle_k)).alias("__sh"),
+    )
     a = docs.alias("a")
     b = docs.alias("b")
     return (

@@ -2,8 +2,13 @@
 
 Schema mandated by BASELINE.json input_hint:
 (repo:string, path:string, commit:string, lang:string, content:string).
-Seed 42; Zipf identifier vocabulary + guaranteed hot terms ('import',
-'return', 'def', 'function') to exercise skew handling.
+Zipf identifier vocabulary + guaranteed hot terms ('import', 'return',
+'def', 'function') to exercise skew handling.
+
+Generation is **per-row seeded** (rng derived from seed + row index), so
+the distributed generator (mapInPandas over spark.range) produces the
+same rows as the pandas generator regardless of partitioning — the
+property the resume/byte-identity tests rely on.
 
 Also: an adapter deriving the same shape from the driver's
 /root/testdata documents.parquet so driver-gated queries run on the
@@ -13,60 +18,69 @@ provided tables rather than synthesized ones.
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 
 _EXTS = ["py", "js", "ts", "go", "java"]
 _LANGS = {"py": "python", "js": "javascript", "ts": "typescript", "go": "go", "java": "java"}
-_HOT = ["import", "return", "def", "function"]
+_HOT = np.array(["import", "return", "def", "function"], dtype=object)
+_EXT_W = np.array([0.4, 0.2, 0.15, 0.15, 0.10])
+_VOCAB_SIZE = 10_000
+
+
+def _vocab_and_cdf() -> tuple[np.ndarray, np.ndarray]:
+    vocab = np.array([f"ident_{i:05d}" for i in range(_VOCAB_SIZE)], dtype=object)
+    ranks = np.arange(1, _VOCAB_SIZE + 1, dtype=np.float64)
+    w = 1.0 / ranks
+    return vocab, np.cumsum(w / w.sum())
+
+
+def _gen_row(i: int, seed: int, vocab: np.ndarray, cdf: np.ndarray) -> tuple:
+    rng = np.random.default_rng((seed << 32) ^ i)
+    repo = f"org{i % 20}/repo{i % 137}"
+    ext = _EXTS[int(rng.choice(5, p=_EXT_W))]
+    path = f"src/dir{i % 53}/file_{i}.{ext}"
+    commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+    n_tok = int(rng.integers(50, 2001))
+    body = vocab[np.searchsorted(cdf, rng.random(n_tok))]
+    n_hot = max(1, n_tok // 12)
+    hot_pos = rng.choice(n_tok, size=min(n_hot, n_tok), replace=False)
+    body[hot_pos] = _HOT[rng.integers(0, len(_HOT), size=len(hot_pos))]
+    parts = [" ".join(body[j : j + 12]) for j in range(0, n_tok, 12)]
+    return repo, path, commit, _LANGS[ext], "\n".join(parts)
 
 
 def synthetic_corpus_pandas(n_rows: int = 5000, seed: int = 42) -> pd.DataFrame:
-    rng = np.random.default_rng(seed)
-    vocab = np.array([f"ident_{i:05d}" for i in range(10_000)], dtype=object)
-    # Zipf weights over the vocab
-    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
-    zipf_w = 1.0 / ranks
-    zipf_w /= zipf_w.sum()
-
-    repos = []
-    paths = []
-    commits = []
-    langs = []
-    contents = []
-    # skewed language mix: py 40%
-    ext_w = np.array([0.4, 0.2, 0.15, 0.15, 0.10])
-    for i in range(n_rows):
-        repo = f"org{i % 20}/repo{i % 137}"
-        ext = _EXTS[rng.choice(5, p=ext_w)]
-        path = f"src/dir{i % 53}/file_{i}.{ext}"
-        commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
-        n_tok = int(rng.integers(50, 2001))
-        body = rng.choice(vocab, size=n_tok, p=zipf_w)
-        # inject hot terms at high frequency (~8% of tokens)
-        n_hot = max(1, n_tok // 12)
-        hot_pos = rng.choice(n_tok, size=min(n_hot, n_tok), replace=False)
-        body[hot_pos] = rng.choice(np.array(_HOT, dtype=object), size=len(hot_pos))
-        # newline every ~12 tokens
-        parts = []
-        for j in range(0, n_tok, 12):
-            parts.append(" ".join(body[j : j + 12]))
-        content = "\n".join(parts)
-        repos.append(repo)
-        paths.append(path)
-        commits.append(commit)
-        langs.append(_LANGS[ext])
-        contents.append(content)
-
-    return pd.DataFrame(
-        {"repo": repos, "path": paths, "commit": commits, "lang": langs, "content": contents}
-    )
+    vocab, cdf = _vocab_and_cdf()
+    rows = [_gen_row(i, seed, vocab, cdf) for i in range(n_rows)]
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
 def synthetic_corpus_df(spark, n_rows: int = 5000, seed: int = 42, partitions: int = 8):
-    pdf = synthetic_corpus_pandas(n_rows, seed)
-    return spark.createDataFrame(pdf).repartition(partitions)
+    """Distributed generator: spark.range → mapInPandas, no driver data."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab, cdf = _vocab_and_cdf()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [_gen_row(int(i), seed, vocab, cdf) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, schema=schema)
 
 
 def corpus_from_documents(spark, sf_dir: str):

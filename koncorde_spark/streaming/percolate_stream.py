@@ -1,0 +1,40 @@
+"""Structured Streaming percolation.
+
+The percolation operator is stateless per micro-batch (the filter index is
+a broadcast constant), so the SAME mapInPandas matcher used for batch runs
+unchanged on a streaming DataFrame: readStream → percolate → writeStream.
+This is the streaming analogue of Koncorde's test() loop — documents flow
+through the registered filter set continuously, matched (doc, filter) pairs
+stream out.
+
+Late data / watermarks are not needed for pure percolation (no windows, no
+state); when aggregating matches per window downstream, attach a watermark
+on the event-time column before grouping, e.g.::
+
+    pairs = percolate_stream(stream_df, index, id_col="event_id")
+    counts = (pairs
+        .join(stream_df.select("event_id", "ts"), "event_id")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "filter_id")
+        .count())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..engine.compiled import CompiledIndex
+from ..spark.percolate import percolate
+
+
+def percolate_stream(
+    stream_df: DataFrame,
+    index: CompiledIndex,
+    id_col: str = "doc_id",
+    result_col: str = "filter_id",
+) -> DataFrame:
+    """Percolate a streaming DataFrame; returns a streaming (id, filter_id)
+    DataFrame ready for writeStream. Stateless — any output mode works."""
+    if not stream_df.isStreaming:
+        raise ValueError("percolate_stream expects a streaming DataFrame")
+    return percolate(stream_df, index, id_col=id_col, result_col=result_col)

@@ -1,0 +1,58 @@
+"""Structured Streaming percolation: file source → percolate → memory sink,
+result equals the batch percolation of the same rows."""
+
+import pandas as pd
+import pytest
+
+from koncorde_spark import Koncorde
+from koncorde_spark.spark.percolate import percolate
+from koncorde_spark.streaming import percolate_stream
+
+
+@pytest.mark.spark
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "kind": ["a" if i % 3 == 0 else "b" for i in range(50)],
+            "score": [float(i) for i in range(50)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    k = Koncorde()
+    k.register({"equals": {"kind": "a"}})
+    k.register({"range": {"score": {"gte": 10, "lt": 20}}})
+    k.register({"and": [{"equals": {"kind": "b"}}, {"range": {"score": {"gt": 40}}}]})
+    ci = k.compiled()
+
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (int(r.doc_id), r.filter_id)
+        for r in percolate(batch_df, ci, id_col="doc_id").collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = percolate_stream(stream, ci, id_col="doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r.doc_id), r.filter_id)
+        for r in spark.sql("select * from perc_stream_test").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+@pytest.mark.spark
+def test_stream_rejects_batch_df(spark):
+    k = Koncorde()
+    k.register({"equals": {"x": 1}})
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        percolate_stream(df, k.compiled(), id_col="id")
