@@ -205,6 +205,31 @@ def _q_perc_geo_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_geo_df(spark, sf_dir), k.compiled(), id_col="event_id")
 
 
+ADVANCED_FILTERS = [
+    {"match": {"lang": "en"}},
+    {"match": {"tags": ["the"]}},
+    {"select": {"field": "tags", "index": 0, "query": {"equals": {"value": "the"}}}},
+    {"select": {"field": "tags", "index": -1, "query": {"regexp": {"value": "^s"}}}},
+    {"ids": {"values": ["doc-1", "doc-2", "doc-3"]}},
+    {"exists": 'tags["data"]'},
+    {"missing": 'tags["the"]'},
+    {"not": {"match": {"lang": "zh"}}},
+]
+
+
+def _q_perc_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match / select / ids / array-value exists over a derived table with
+    array columns (rows-only check: not SQL-expressible)."""
+    k = _build(ADVANCED_FILTERS)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("_id"),
+        "lang",
+        F.slice(F.split(F.col("text"), " "), 1, 5).alias("tags"),
+    )
+    return percolate(docs, k.compiled(), id_col="doc_id")
+
+
 def _q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bm25_brute_topk(docs, BM25_QUERY_TERMS, BM25_K)
@@ -301,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_documents": _q_perc_documents,
         "perc_geo_bbox": _q_perc_geo_bbox,
         "perc_geo_shapes": _q_perc_geo_shapes,
+        "perc_advanced": _q_perc_advanced,
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
         "dedup_exact": _q_dedup_exact,

@@ -24,6 +24,7 @@ def bm25_brute_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int | None = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     qarr = F.array(*[F.lit(t) for t in query_terms])
     d = df.select(
@@ -58,10 +59,12 @@ def bm25_brute_topk(
         if round_to is not None:
             scored = scored.withColumn("score", F.round("score", round_to))
         out = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
-        out = out.localCheckpoint()  # materialize while d is cached
+        if materialize:
+            out = out.localCheckpoint()  # materialize while d is cached
         return out
     finally:
-        d.unpersist()
+        if materialize:
+            d.unpersist()
 
 
 def bm25_brute_sql(
