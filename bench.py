@@ -93,6 +93,20 @@ def main():
     extra["bm25_p95_sec"] = round(float(np.percentile(lat, 95)), 3)
     extra["bm25_p50_sec"] = round(float(np.percentile(lat, 50)), 3)
 
+    # Spark-free serving tier over the same index (pyarrow + numpy WAND)
+    from koncorde_spark.fulltext.serve import LocalSearcher
+
+    searcher = LocalSearcher(idx_dir)
+    slat = []
+    t0 = time.time()
+    for q in qset * 3:
+        tq = time.time()
+        searcher.topk(q, 10)
+        slat.append(time.time() - tq)
+    queries["bm25_serve_x30"] = round(time.time() - t0, 3)
+    extra["bm25_serve_p95_ms"] = round(float(np.percentile(slat, 95)) * 1000, 2)
+    extra["bm25_serve_p50_ms"] = round(float(np.percentile(slat, 50)) * 1000, 2)
+
     timed(
         "bm25_brute_1q",
         lambda: bm25_brute_topk(

@@ -1,0 +1,97 @@
+"""Spark-free low-latency BM25 serving over a built index.
+
+The distributed job (indexer.py) builds the index; serving top-k queries
+does not need a Spark job at all — a query touches only the posting rows
+of its terms. LocalSearcher reads those rows straight from the postings
+parquet with pyarrow (dataset filter on ``term`` → row-group pruning via
+the term-sorted files) and scores them with the same block-max WAND
+kernel the distributed path uses, so results are bit-identical to
+``Bm25Index.topk`` by construction.
+
+At cluster scale this is the "searcher" tier: each searcher process maps
+a subset of shard directories; here one process serves all shards.
+p50/p95 latencies are milliseconds (vs ~1s for a Spark job round-trip).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.dataset as ds
+
+from .codecs import delta_decode, varint_decode
+from .indexer import read_meta
+from .tokenizer import tokenize_text
+from .wand import TermPostings, bm25_idf, topk_block_max_wand
+
+
+class LocalSearcher:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.meta = read_meta(index_dir)
+        self._postings = ds.dataset(
+            os.path.join(index_dir, "postings"), format="parquet", partitioning="hive"
+        )
+        # term → global df (small: one row per distinct term)
+        tbl = ds.dataset(os.path.join(index_dir, "terms"), format="parquet").to_table()
+        self._df = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+        # per-shard doc-length packs, decoded once
+        pack = ds.dataset(os.path.join(index_dir, "dlpack"), format="parquet").to_table()
+        self._dl: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for shard, n, ids_b, dls_b in zip(
+            pack["shard"].to_pylist(),
+            pack["n"].to_pylist(),
+            pack["doc_ids"].to_pylist(),
+            pack["dls"].to_pylist(),
+        ):
+            self._dl[int(shard)] = (
+                delta_decode(bytes(ids_b), int(n)).astype(np.int64),
+                varint_decode(bytes(dls_b), int(n)).astype(np.float64),
+            )
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), ties broken by ascending doc_id —
+        rank-identical to the distributed Bm25Index.topk path."""
+        q_terms = sorted(set(tokenize_text(query)))
+        idf = {t: float(bm25_idf(self.meta["n_docs"], self._df[t]))
+               for t in q_terms if t in self._df}
+        if not idf:
+            return []
+        k1, b = self.meta["k1"], self.meta["b"]
+        avgdl, bs = self.meta["avgdl"], self.meta["block_size"]
+
+        tbl = self._postings.to_table(
+            filter=ds.field("term").isin(list(idf)),
+            columns=["term", "shard", "df", "doc_ids", "tfs", "block_last", "block_max"],
+        )
+        by_shard: dict[int, list[TermPostings]] = {}
+        for i in range(tbl.num_rows):
+            term = tbl["term"][i].as_py()
+            shard = int(tbl["shard"][i].as_py())
+            n = int(tbl["df"][i].as_py())
+            ids = delta_decode(bytes(tbl["doc_ids"][i].as_py()), n).astype(np.int64)
+            tfs = varint_decode(bytes(tbl["tfs"][i].as_py()), n).astype(np.float64)
+            dl_ids, dl_vals = self._dl[shard]
+            dls = dl_vals[np.searchsorted(dl_ids, ids)]
+            tfpart = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            by_shard.setdefault(shard, []).append(
+                TermPostings(
+                    doc_ids=ids,
+                    scores=idf[term] * tfpart,
+                    block_last=np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
+                    block_ub=idf[term] * np.asarray(tbl["block_max"][i].as_py()),
+                    block_size=bs,
+                )
+            )
+
+        cand_ids: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        for shard, tps in by_shard.items():
+            ids, scores = topk_block_max_wand(tps, k)
+            cand_ids.append(ids)
+            cand_scores.append(scores)
+        ids = np.concatenate(cand_ids)
+        scores = np.concatenate(cand_scores)
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]
