@@ -115,6 +115,36 @@ def main():
         ).collect(),
     )
 
+    # --- reference-shaped microbench: 10k equals filters ------------------
+    # mirrors /root/reference/benchmark.js (10,000 random-string equals
+    # filters; README.md:98-99 reports 0.255s indexation, 10.3M single-doc
+    # matches/sec on one core). We register the same filter count and
+    # percolate a full table against ALL of them in one pass.
+    from koncorde_spark import Koncorde
+    from koncorde_spark.spark.percolate import percolate as _perc
+
+    vals = [f"val_{i:05d}" for i in range(10_000)]
+    t0 = time.time()
+    k10 = Koncorde()
+    for v in vals:
+        k10.register({"equals": {"str_a": v}})
+    ci = k10.compiled()
+    queries["register_10k_filters"] = round(time.time() - t0, 3)
+
+    ev10 = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.concat(F.lit("val_"), F.lpad((F.col("event_id") % 20000).cast("string"), 5, "0")).alias("str_a"),
+    ).cache()
+    n10 = ev10.count()
+    t0 = time.time()
+    hits = _perc(ev10, ci, id_col="event_id").count()
+    queries["perc_10k_filters"] = round(time.time() - t0, 3)
+    extra["perc_10k_docs_per_sec"] = round(n10 / queries["perc_10k_filters"], 1)
+    extra["perc_10k_row_filter_per_sec"] = round(
+        n10 * 10_000 / queries["perc_10k_filters"], 0
+    )
+    extra["perc_10k_hits"] = hits
+
     # --- dedup / similarity ----------------------------------------------
     import pyspark.sql.functions as F
 

@@ -53,7 +53,7 @@ from .codecs import (
     varint_encode,
     varint_encode_groups,
 )
-from .tokenizer import tokenize_series
+from .tokenizer import tokenize_arrow, tokenize_series
 
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
@@ -156,8 +156,7 @@ def _docs_stage_fn(n_shards: int):
             if len(pdf) == 0:
                 continue
             doc_ids = _doc_ids_series(pdf["repo"], pdf["path"], pdf["commit"])
-            tokens = tokenize_series(pdf["content"])
-            dl = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
+            _codes, _rows, _vocab, dl = tokenize_arrow(pdf["content"])
             shas = [hashlib.sha256(c.encode()).hexdigest() for c in pdf["content"]]
             yield pd.DataFrame(
                 {
@@ -205,17 +204,22 @@ def _partials_fn(n_shards: int):
             n_docs = len(pdf)
             doc_ids = _doc_ids_series(pdf["repo"], pdf["path"], pdf["commit"])
             shards = (doc_ids % n_shards).astype(np.int64)
-            token_lists = tokenize_series(pdf["content"])
-            lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
-            if lens.sum() == 0:
+            term_codes, flat_rows, term_uniques, dls = tokenize_arrow(pdf["content"])
+            if len(term_codes) == 0:
                 continue
-            dls = lens
-            flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
-            flat_rows = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            term_codes, term_uniques = pd.factorize(pd.Series(flat_terms))
             n_terms = len(term_uniques)
+            # tf per (doc, term): single-pass C++ hash aggregation (cheaper
+            # in memory traffic than a sort-based np.unique over all tokens)
+            import pyarrow as pa
+
             combo = flat_rows * n_terms + term_codes
-            uniq_combo, tf = np.unique(combo, return_counts=True)
+            agg = (
+                pa.table({"k": combo})
+                .group_by("k")
+                .aggregate([("k", "count")])
+            )
+            uniq_combo = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tf = agg["k_count"].to_numpy(zero_copy_only=False).astype(np.int64)
             u_rows = (uniq_combo // n_terms).astype(np.int64)
             u_terms = (uniq_combo % n_terms).astype(np.int64)
 

@@ -228,6 +228,79 @@ def jaccard_pairs(
     )
 
 
+def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    Min-label propagation: every node repeatedly adopts the smallest id
+    reachable over the (undirected) pair edges; converges in O(component
+    diameter) joins. Near-dup components are tiny and shallow in practice,
+    so this beats bringing in a graph library; each iteration is a
+    broadcast-friendly shuffle join on id.
+
+    ``pairs``: (id_a, id_b). Returns every id that appears in some pair
+    with its cluster representative (smallest id in the component).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), F.least("label", "src").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # candidate label: min over neighbors' labels and own
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), F.col("label"))
+        )
+        new_labels = (
+            neigh.union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash → LSH buckets → Jaccard verify →
+    connected components → survivors (smallest id per cluster)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm=num_perm, bands=bands)
+    verified = jaccard_pairs(df, cand, text_col, id_col).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    clusters = cluster_pairs(verified.select("id_a", "id_b"))
+    dupes = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dupes, id_col, "anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -172,3 +172,24 @@ class TestMultimodal:
         fs = frame_sample(media, every_n=100).toPandas()
         vids = media.where(F.col("kind") == "video").count()
         assert fs["media_id"].nunique() == vids
+
+
+class TestClustering:
+    def test_cluster_pairs_components(self, spark):
+        import pandas as pd
+        from koncorde_spark.pipeline import dedup as dd
+
+        # two components: {1,2,3,4} (chain) and {10,11}; singleton 99 absent
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]})
+        )
+        out = {r["id"]: r["cluster_id"] for r in dd.cluster_pairs(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_dedup_near_end_to_end(self, spark, docs_df):
+        from koncorde_spark.pipeline import dedup as dd
+
+        surv = dd.dedup_near(docs_df, num_perm=16, bands=8, jaccard_threshold=0.99)
+        ids = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
+        # doc 1 is the exact dup of doc 0 → dropped; everything else kept
+        assert ids == [0, 2, 3, 4, 5, 6, 7]
