@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+import pyspark.sql.functions as F
 
 
 def main():
@@ -146,8 +147,6 @@ def main():
     extra["perc_10k_hits"] = hits
 
     # --- dedup / similarity ----------------------------------------------
-    import pyspark.sql.functions as F
-
     # agg over computed columns forces full evaluation (count() would let
     # Catalyst prune the expensive expressions away)
     timed(

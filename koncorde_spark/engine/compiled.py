@@ -452,6 +452,25 @@ class CompiledIndex:
         if len(nn) == 0:
             return
         sub = s.iloc[nn]
+        if sub.dtype == object:
+            # Strict typing: Python hashes True==1 and False==0, so a batch
+            # mixing booleans and numbers in one field would factorize them
+            # into ONE code and the first-seen value's vkey would decide the
+            # whole group (true !== 1 contract, reference matchEquals.js
+            # strict Map keys). Split on the bool/non-bool boundary so each
+            # factorize partition is type-pure w.r.t. that hash collision.
+            vals = sub.to_numpy()
+            bmask = np.fromiter(
+                (isinstance(x, (bool, np.bool_)) for x in vals),
+                dtype=bool, count=len(vals),
+            )
+            if bmask.any() and not bmask.all():
+                self._factorized_hits(nn[bmask], sub[bmask], cond_map, emit)
+                self._factorized_hits(nn[~bmask], sub[~bmask], cond_map, emit)
+                return
+        self._factorized_hits(nn, sub, cond_map, emit)
+
+    def _factorized_hits(self, nn, sub, cond_map, emit):
         try:
             codes, uniques = pd.factorize(sub)
         except TypeError:
@@ -493,7 +512,14 @@ class CompiledIndex:
                 continue
             isna = s.isna().to_numpy()
             rows_na = np.nonzero(isna)[0]
-            emit_x(rows_na, all_sfs)  # missing field matches every notequals
+            # missing/null field matches every notequals EXCEPT the
+            # notequals-null condition itself (reference matchNotEquals:
+            # document[key] !== null → no match; to_sql emits IS NOT NULL)
+            null_sfs = cond_map.get(("null", None))
+            na_sfs = (
+                np.setdiff1d(all_sfs, null_sfs) if null_sfs is not None else all_sfs
+            )
+            emit_x(rows_na, na_sfs)
             # present rows: (nn × all_sfs) MINUS strict-equal hits
             nn = np.nonzero(~isna)[0]
             if len(nn) == 0:
@@ -602,14 +628,29 @@ class CompiledIndex:
             # complement intervals already encode the negation — hits are matches
             emit(r, s)
 
+    @staticmethod
+    def _string_view(s: pd.Series) -> "pd.Series | None":
+        """String-only view of a column for regexp probes.
+
+        Non-string values become NA; a column whose dtype can't hold strings
+        at all (numeric/bool from a Spark schema) returns None — regexp on a
+        non-string simply doesn't match (reference regexpCondition), it must
+        never crash the mapInPandas job with a .str accessor error.
+        """
+        if pd.api.types.is_object_dtype(s.dtype):
+            return s.where(s.apply(lambda v: isinstance(v, str)), other=None)
+        if pd.api.types.is_string_dtype(s.dtype):
+            return s
+        return None
+
     def _match_regexps(self, batch, emit, emit_x):
         for field, rx in self.regexps.items():
             s = batch.col(field)
             if s is None:
                 continue
-            sstr = s.where(s.apply(lambda v: isinstance(v, str)), other=None) if (
-                pd.api.types.is_object_dtype(s.dtype)
-            ) else s
+            sstr = self._string_view(s)
+            if sstr is None:
+                continue  # non-string column ⇒ zero regexp hits
             for creg, sfs in zip(rx.compiled(), rx.sf_lists):
                 hit = sstr.str.contains(creg, na=False, regex=True).to_numpy(dtype=bool)
                 emit_x(np.nonzero(hit)[0], sfs)
@@ -619,9 +660,11 @@ class CompiledIndex:
                 all_sfs = self.notregexp_all[field]
                 emit_x(np.arange(batch.n, dtype=np.int64), all_sfs)
                 continue
-            sstr = s.where(s.apply(lambda v: isinstance(v, str)), other=None) if (
-                pd.api.types.is_object_dtype(s.dtype)
-            ) else s
+            sstr = self._string_view(s)
+            if sstr is None:
+                # non-string column ⇒ every notregexp cond matches all rows
+                emit_x(np.arange(batch.n, dtype=np.int64), self.notregexp_all[field])
+                continue
             for creg, sfs in zip(rx.compiled(), rx.sf_lists):
                 hit = sstr.str.contains(creg, na=False, regex=True).to_numpy(dtype=bool)
                 # missing or non-matching values ⇒ match

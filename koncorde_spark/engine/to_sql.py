@@ -39,7 +39,7 @@ def _q(col: str) -> str:
     return col
 
 
-def condition_to_sql(cond: dict) -> str:
+def condition_to_sql(cond: dict, resolve=_q) -> str:
     keyword = next(k for k in cond if k != "not")
     negated = bool(cond.get("not"))
     spec = cond[keyword]
@@ -53,7 +53,7 @@ def condition_to_sql(cond: dict) -> str:
 
     if keyword == "equals":
         field = next(iter(spec))
-        col = _q(field)
+        col = resolve(field)
         v = spec[field]
         if not negated:
             return f"{col} IS NULL" if v is None else f"{col} = {_lit(v)}"
@@ -64,14 +64,19 @@ def condition_to_sql(cond: dict) -> str:
 
     if keyword == "exists":
         ne: NormalizedExists = spec
+        col = resolve(ne.path)
         if ne.array:
-            raise NotSqlExpressible("array-value exists")
-        col = _q(ne.path)
+            # array-value form `field[value]`: strict containment in a typed
+            # list column (test/keywords/exists.test.js array fixtures)
+            hit = f"coalesce(list_contains({col}, {_lit(ne.value)}), FALSE)"
+            if negated:
+                return f"({col} IS NULL OR NOT {hit})"
+            return f"({col} IS NOT NULL AND {hit})"
         return f"{col} IS NULL" if negated else f"{col} IS NOT NULL"
 
     if keyword == "range":
         field = next(iter(spec))
-        col = _q(field)
+        col = resolve(field)
         parts = []
         b = spec[field]
         if "gt" in b:
@@ -90,7 +95,7 @@ def condition_to_sql(cond: dict) -> str:
 
     if keyword == "regexp":
         field = next(iter(spec))
-        col = _q(field)
+        col = resolve(field)
         pat = spec[field]["value"]
         flags = spec[field].get("flags") or ""
         if "i" in flags:
@@ -102,7 +107,65 @@ def condition_to_sql(cond: dict) -> str:
             return f"({col} IS NOT NULL AND {m})"
         return f"({col} IS NULL OR NOT {m})"
 
+    if keyword == "match":
+        # subset semantics (ObjectMatcher.ts): every pattern key must match;
+        # scalar → strict equality, array → multiset containment (only
+        # duplicate-free patterns are SQL-expressible via list_contains)
+        parts = []
+        for field, pat in spec.items():
+            col = resolve(field)
+            if isinstance(pat, dict):
+                raise NotSqlExpressible("nested-object match pattern")
+            if isinstance(pat, (list, tuple)):
+                keys = [repr(type(v)) + repr(v) for v in pat]
+                if len(set(keys)) != len(keys):
+                    raise NotSqlExpressible("multiset match with duplicates")
+                elems = [
+                    f"coalesce(list_contains({col}, {_lit(v)}), FALSE)" for v in pat
+                ]
+                parts.append(f"({col} IS NOT NULL AND {' AND '.join(elems)})")
+            elif pat is None:
+                parts.append(f"{col} IS NULL")
+            else:
+                parts.append(f"{col} = {_lit(pat)}")
+        m = "(" + " AND ".join(parts) + ")"
+        if not negated:
+            return m
+        # notmatch: missing field / failed match ⇒ match (NULL-safe)
+        return f"(NOT coalesce({m}, FALSE))"
+
+    if keyword == "select":
+        # element select: field[index] probed by a child query over `value`
+        field, idx = spec["field"], int(spec["index"])
+        if negated:
+            raise NotSqlExpressible("negated select")
+        base = resolve(field)
+        duck_idx = idx + 1 if idx >= 0 else idx  # DuckDB lists are 1-based
+        elem = f"{base}[{duck_idx}]"
+        return _select_child_sql(spec["query"], elem)
+
     raise NotSqlExpressible(f"keyword {keyword!r}")
+
+
+def _select_child_sql(query: dict, elem: str) -> str:
+    """SQL for a select's raw child query applied to the element expr.
+
+    Only the simple non-negated forms over the synthetic `value` field are
+    expressible; nested selects / negations fall back to rows-only checks.
+    """
+    if not isinstance(query, dict) or len(query) != 1:
+        raise NotSqlExpressible("complex select child")
+    kw = next(iter(query))
+    spec = query[kw]
+    if kw in ("not",):
+        raise NotSqlExpressible("negated select child")
+    if not isinstance(spec, dict) or set(spec) != {"value"}:
+        raise NotSqlExpressible("select child must probe `value`")
+    v = spec["value"]
+    if kw == "regexp" and isinstance(v, str):
+        v = {"value": v, "flags": None}
+    cond = {kw: {"value": v}, "not": False}
+    return condition_to_sql(cond, resolve=lambda f: elem)
 
 
 def dnf_to_sql(dnf: list[list[dict]]) -> str:

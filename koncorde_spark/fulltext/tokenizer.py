@@ -54,7 +54,9 @@ def tokenize_arrow(texts: pd.Series):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_pandas(texts.astype(str))
+    # null content must tokenize to [] — astype(str) would render None as
+    # the literal string 'None' and pollute postings with a phantom token
+    arr = pa.Array.from_pandas(texts.fillna("").astype(str))
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)

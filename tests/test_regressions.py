@@ -1,0 +1,121 @@
+"""Round-2 regression tests for the ADVICE.md findings.
+
+Each test pins a bug verified by the round-1 advisor:
+1. factorize hash-collision between bool and num in one batch column
+   (engine/compiled.py _series_scalar_hits — true !== 1 strict contract);
+2. notequals blanket-matching NA rows including the notequals-null cond;
+3. regexp/notregexp on a non-string Spark column dtype crashing mapInPandas;
+4. tokenize_arrow rendering null content as the phantom token 'none';
+5. bench.py importability (the round-1 driver bench crashed on an
+   UnboundLocalError nothing in tests/ exercised).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from koncorde_spark import Koncorde
+
+
+def _match_ids(k, docs):
+    ci = k.compiled()
+    return ci.match_docs(docs)
+
+
+class TestMixedTypeBatch:
+    def test_bool_and_num_in_one_batch(self):
+        k = Koncorde()
+        fid_true = k.register({"equals": {"f": True}})
+        fid_one = k.register({"equals": {"f": 1}})
+        out = _match_ids(k, [{"f": 1}, {"f": True}, {"f": 1.0}, {"f": False}, {"f": 0}])
+        assert out[0] == [fid_one]
+        assert out[1] == [fid_true]
+        assert out[2] == [fid_one]
+        assert out[3] == []  # False !== 0, and no equals-False filter
+        assert out[4] == []
+        # order-reversed batch must give identical per-doc results
+        out2 = _match_ids(k, [{"f": True}, {"f": 1}])
+        assert out2[0] == [fid_true] and out2[1] == [fid_one]
+
+    def test_bool_zero_one_only_batch(self):
+        k = Koncorde()
+        fid = k.register({"equals": {"f": False}})
+        out = _match_ids(k, [{"f": 0}, {"f": False}])
+        assert out[0] == [] and out[1] == [fid]
+
+    def test_notequals_mixed_batch(self):
+        k = Koncorde()
+        fid = k.register({"not": {"equals": {"f": 1}}})
+        out = _match_ids(k, [{"f": 1}, {"f": True}])
+        # strict: True !== 1, so the bool doc matches notequals-1
+        assert out[0] == [] and out[1] == [fid]
+
+
+class TestNotEqualsNull:
+    def test_null_doc_does_not_match_notequals_null(self):
+        k = Koncorde()
+        fid = k.register({"not": {"equals": {"f": None}}})
+        out = _match_ids(k, [{"f": None}, {"f": 1}, {}])
+        assert out[0] == []        # explicit null: document[key] !== null fails
+        assert out[1] == [fid]     # present non-null value matches
+        assert out[2] == []        # missing collapses to null in columnar form
+                                   # (matches the IS NOT NULL oracle SQL)
+
+    def test_notequals_null_and_value_share_field(self):
+        k = Koncorde()
+        fid_null = k.register({"not": {"equals": {"f": None}}})
+        fid_foo = k.register({"not": {"equals": {"f": "foo"}}})
+        out = _match_ids(k, [{"f": None}, {"f": "foo"}, {"f": "bar"}])
+        assert out[0] == [fid_foo]                    # null matches only ne-foo
+        assert sorted(out[1]) == sorted([fid_null])   # foo matches only ne-null
+        assert sorted(out[2]) == sorted([fid_null, fid_foo])
+
+
+class TestRegexpNonStringColumn:
+    def test_regexp_on_double_column_spark(self, spark):
+        from koncorde_spark.spark.percolate import percolate
+
+        k = Koncorde()
+        k.register({"regexp": {"price": "^1.*"}})
+        fid_not = k.register({"not": {"regexp": {"price": "^1.*"}}})
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "price": [1.5, 2.5, 11.0]})
+        )
+        rows = percolate(df, k.compiled(), id_col="doc_id").collect()
+        got = sorted((r["doc_id"], r["filter_id"]) for r in rows)
+        # regexp on a non-string column never matches; notregexp matches all
+        assert got == [(1, fid_not), (2, fid_not), (3, fid_not)]
+
+    def test_regexp_on_long_column_spark(self, spark):
+        from koncorde_spark.spark.percolate import percolate
+
+        k = Koncorde()
+        fid = k.register({"regexp": {"n": "x"}})
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "n": [7]}))
+        assert percolate(df, k.compiled(), id_col="doc_id").count() == 0
+
+
+class TestTokenizerNullContent:
+    def test_null_content_yields_empty(self):
+        from koncorde_spark.fulltext.tokenizer import tokenize_arrow
+
+        s = pd.Series(["foo bar", None, "none"], dtype=object)
+        codes, rows, vocab, dls = tokenize_arrow(s)
+        assert dls.tolist() == [2, 0, 1]
+        # the only 'none' occurrence is the real one in row 2
+        none_code = [i for i, v in enumerate(vocab) if v == "none"]
+        assert len(none_code) == 1
+        occ_rows = rows[codes == none_code[0]]
+        assert occ_rows.tolist() == [2]
+
+
+class TestBenchImportable:
+    def test_bench_module_compiles_and_imports(self):
+        import importlib.util
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+        spec = importlib.util.spec_from_file_location("bench_smoke", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # must not execute main() on import
+        assert callable(mod.main)
