@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from koncorde_spark import Koncorde
 from koncorde_spark.engine.to_sql import percolation_oracle_sql
+from koncorde_spark.geo.oracle import geo_percolation_oracle_sql
 from koncorde_spark.spark.percolate import percolate
 from koncorde_spark.fulltext.brute import bm25_brute_sql, bm25_brute_topk
 from koncorde_spark.pipeline import dedup, similarity, text
@@ -109,6 +110,15 @@ GEO_SHAPE_FILTERS = [
             }
         }
     },
+]
+
+SPECIAL_FILTERS = [
+    {},  # everything — matches every document
+    {"nothing": True},  # never matches
+    {"equals": {"value_n": None}},
+    {"not": {"equals": {"value_n": None}}},
+    {"regexp": {"event_type": {"value": "^CL", "flags": "i"}}},
+    {"not": {"regexp": {"event_type": {"value": "^ERR", "flags": "i"}}}},
 ]
 
 BM25_QUERY_TERMS = ["spark", "join", "merge"]
@@ -205,6 +215,13 @@ def _q_perc_geo_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_geo_df(spark, sf_dir), k.compiled(), id_col="event_id")
 
 
+def _q_perc_special(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """everything / nothing / equals-null / notequals-null / flagged regexp
+    — the edge keywords, each with a generated DuckDB oracle twin."""
+    k = _build(SPECIAL_FILTERS)
+    return percolate(_events_df(spark, sf_dir), k.compiled(), id_col="event_id")
+
+
 ADVANCED_FILTERS = [
     {"match": {"lang": "en"}},
     {"match": {"tags": ["the"]}},
@@ -219,7 +236,8 @@ ADVANCED_FILTERS = [
 
 def _q_perc_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """match / select / ids / array-value exists over a derived table with
-    array columns (rows-only check: not SQL-expressible)."""
+    array columns; oracle generated via the DuckDB list functions
+    (list_contains / list_extract / list_slice)."""
     k = _build(ADVANCED_FILTERS)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
@@ -228,6 +246,15 @@ def _q_perc_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.split(F.col("text"), " "), 1, 5).alias("tags"),
     )
     return percolate(docs, k.compiled(), id_col="doc_id")
+
+
+_ADVANCED_ORACLE_TABLE = (
+    "(SELECT doc_id,"
+    " 'doc-' || CAST(doc_id AS VARCHAR) AS _id,"
+    " lang,"
+    " list_slice(string_split(text, ' '), 1, 5) AS tags"
+    " FROM documents)"
+)
 
 
 def _q_bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_geo_bbox": _q_perc_geo_bbox,
         "perc_geo_shapes": _q_perc_geo_shapes,
         "perc_advanced": _q_perc_advanced,
+        "perc_special": _q_perc_special,
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
         "dedup_exact": _q_dedup_exact,
@@ -355,11 +383,22 @@ def oracle_sql() -> dict[str, str]:
             _dnfs(LINEITEM_FILTERS), _LINEITEM_ORACLE_TABLE, "line_id"
         ),
         "perc_documents": percolation_oracle_sql(_dnfs(DOCUMENTS_FILTERS), "documents", "doc_id"),
+        "perc_special": percolation_oracle_sql(
+            _dnfs(SPECIAL_FILTERS), _EVENTS_ORACLE_TABLE, "event_id"
+        ),
+        "perc_advanced": percolation_oracle_sql(
+            _dnfs(ADVANCED_FILTERS), _ADVANCED_ORACLE_TABLE, "doc_id"
+        ),
         "perc_geo_bbox": _geo_bbox_oracle(),
+        "perc_geo_shapes": geo_percolation_oracle_sql(
+            _dnfs(GEO_SHAPE_FILTERS), _geo_oracle_where_table(), "event_id"
+        ),
         "bm25_brute": bm25,
         "bm25_topk": bm25,
         "dedup_exact": dedup.exact_groups_sql("documents"),
         "minhash16": dedup.minhash_signatures_sql("documents", num_perm=16),
+        "simhash64": dedup.simhash_sql("documents"),
+        "lsh_pairs": dedup.lsh_pairs_sql("documents"),
         "tokstats": text.token_stats_sql("documents"),
         "quality": text.quality_score_sql("documents"),
         "langid": text.language_id_sql("documents"),

@@ -160,17 +160,26 @@ def minhash_signatures_sql(
     return f"SELECT {id_col}, {', '.join(cols)} FROM {table}"
 
 
+LSH_BUCKET_CAP = 64  # max bucket size joined all-pairs; larger → star pattern
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = 16,
     bands: int = 4,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, emit candidate pairs.
 
-    Pairs (a < b) that collide in ≥1 band. Shuffle volume is bounded by
-    bucket sizes; at scale add a bucket-size cap + salting for degenerate
-    buckets (all-identical docs).
+    Pairs (a < b) that collide in ≥1 band. Degenerate buckets (a crawl
+    corpus with millions of identical boilerplate docs would otherwise
+    produce O(N²) pairs in one bucket) are capped: buckets larger than
+    ``bucket_cap`` emit only the star pattern (bucket-min id paired with
+    every other member) — O(N) pairs that still keep the bucket connected
+    for the connected-components step, deterministically (no sampling), so
+    the DuckDB oracle reproduces the exact pair set. Null signatures
+    (docs too short to shingle) are excluded.
     """
     rows_per_band = num_perm // bands
     band_cols = []
@@ -179,25 +188,88 @@ def lsh_candidate_pairs(
             ":", *[F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    exploded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    exploded = (
+        signatures.where(F.col("mh_0").isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
     )
-    return pairs
+    w = Window.partitionBy("band", "sig")
+    stats = exploded.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "mid", F.min(id_col).over(w)
+    )
+    small = stats.where(F.col("n") <= bucket_cap)
+    left = small.alias("l")
+    right = small.alias("r")
+    all_pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.sig") == F.col("r.sig"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+    )
+    star_pairs = (
+        stats.where((F.col("n") > bucket_cap) & (F.col(id_col) != F.col("mid")))
+        .select(F.col("mid").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
+def lsh_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of lsh_candidate_pairs + jaccard_pairs (bit-identical
+    minhash constants, same band/bucket/star-cap rules, same shingle
+    Jaccard — integer set sizes divide to the identical double)."""
+    sigs_sql = minhash_signatures_sql(table, text_col, id_col, num_perm, shingle_k, seed)
+    rpb = num_perm // bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {b} AS band, concat_ws(':', "
+        + ", ".join(f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + f") AS sig FROM sigs WHERE mh_0 IS NOT NULL"
+        for b in range(bands)
+    )
+    t = tokens_sql(text_col)
+    sh = f"""
+      list_distinct(list_transform(
+        range(1, greatest(len({t}) - {shingle_k - 1}, 0) + 1),
+        i -> ('0x' || substr(md5(array_to_string(list_slice({t}, i, i + {shingle_k - 1}), ' ')), 1, 15))::BIGINT
+      ))
+    """
+    return f"""
+    WITH sigs AS ({sigs_sql}),
+    bands AS ({band_rows}),
+    stats AS (
+      SELECT {id_col}, band, sig,
+             count(*) OVER (PARTITION BY band, sig) AS n,
+             min({id_col}) OVER (PARTITION BY band, sig) AS mid
+      FROM bands
+    ),
+    cand AS (
+      SELECT l.{id_col} AS id_a, r.{id_col} AS id_b
+      FROM stats l JOIN stats r
+        ON l.band = r.band AND l.sig = r.sig AND l.{id_col} < r.{id_col}
+      WHERE l.n <= {bucket_cap}
+      UNION
+      SELECT mid AS id_a, {id_col} AS id_b
+      FROM stats WHERE n > {bucket_cap} AND {id_col} <> mid
+    ),
+    sh AS (SELECT {id_col}, {sh} AS s FROM {table})
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.{id_col} = c.id_a
+    JOIN sh b ON b.{id_col} = c.id_b
+    """
 
 
 def jaccard_pairs(
@@ -306,44 +378,85 @@ def dedup_near(
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_BITS = 60  # 15 hex digits of md5 — fits BIGINT in Spark AND DuckDB
+
+
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text: sign of tf-weighted token-hash bit sums."""
-    from ..fulltext.tokenizer import tokenize_text
+    """60-bit SimHash per text: sign of tf-weighted token-hash bit sums.
+
+    Fully batch-vectorized (no per-row Python): tokenize the whole Arrow
+    batch at once, md5-hash only the batch's (small) unique-term vocabulary,
+    then one reduceat over the ±1 bit matrix weighted by tf. The term hash
+    is the 60-bit md5 prefix so the DuckDB oracle reproduces signatures
+    bit-for-bit (same trick as the minhash shingle ids)."""
+    from ..fulltext.tokenizer import tokenize_arrow
 
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        toks = tokenize_text(text or "")
-        if not toks:
-            continue
-        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                for t in terms
-            ),
-            dtype=np.uint64,
-            count=len(terms),
+    codes, rows, vocab, _dls = tokenize_arrow(texts)
+    if len(codes) == 0:
+        return pd.Series(out)
+    # tf per (row, term): unique over the composite key (sorted by row)
+    key = rows * len(vocab) + codes
+    uk, tf = np.unique(key, return_counts=True)
+    urows = uk // len(vocab)
+    ucodes = uk % len(vocab)
+    hs = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in vocab),
+        dtype=np.int64,
+        count=len(vocab),
+    )
+    # loop over the SMALL dimension (60 bits), vectorize over the large one
+    # (entries): per bit, acc = 2*Σ(tf·bit) - Σtf; bit set iff acc > 0.
+    # float64 bincount weights are exact here (integer sums ≪ 2^53).
+    hcodes = hs[ucodes]
+    tff = tf.astype(np.float64)
+    total = np.bincount(urows, weights=tff, minlength=len(texts))
+    sig = np.zeros(len(texts), dtype=np.int64)
+    for b in range(SIMHASH_BITS):
+        bitsum = np.bincount(
+            urows, weights=tff * ((hcodes >> b) & 1), minlength=len(texts)
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(acc > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
+        sig |= ((2.0 * bitsum - total) > 0).astype(np.int64) << b
+    out[:] = sig
     return pd.Series(out)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) via a vectorized Arrow batch UDF."""
+    """(id, simhash) via a vectorized Arrow batch UDF (empty/null text → 0)."""
     udf = F.pandas_udf(_simhash_batch, T.LongType())
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
 
 
+def simhash_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin: identical tokenizer rule, identical 60-bit md5 term hash,
+    identical sign-of-tf-weighted-bit-sum — signatures match bit-for-bit."""
+    t = tokens_sql(text_col)
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(tf * (2 * ((h >> {b}) & 1) - 1)) > 0"
+        f" THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    SELECT d.{id_col}, coalesce(s.simhash, 0) AS simhash
+    FROM {table} d
+    LEFT JOIN (
+      SELECT {id_col}, ({bit_terms})::BIGINT AS simhash
+      FROM (
+        SELECT {id_col}, tok, count(*) AS tf,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM (SELECT {id_col}, unnest({t}) AS tok FROM {table})
+        GROUP BY {id_col}, tok
+      )
+      GROUP BY {id_col}
+    ) s USING ({id_col})
+    """
+
+
 def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Band the 64-bit simhash into 4×16-bit chunks; by pigeonhole any pair
+    """Band the 60-bit simhash into 4×15-bit chunks; by pigeonhole any pair
     with Hamming ≤ 3 collides in ≥1 chunk. Verify with bit_count."""
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias(f"c{i}")
         for i in range(4)
     ]
     e = sigs.select(id_col, "simhash", *chunks)

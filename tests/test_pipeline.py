@@ -64,6 +64,39 @@ class TestMinhashLsh:
         j = {(a, b): v for a, b, v in verified.itertuples(index=False)}
         assert j[(0, 1)] == 1.0
 
+    def test_degenerate_bucket_capped(self, spark):
+        """A bucket of N identical docs must emit O(N) star pairs, not
+        O(N²) — the 100-TB boilerplate-crawl failure mode (VERDICT r1 #2)."""
+        import time
+
+        n = 2000
+        pdf = pd.DataFrame(
+            {"doc_id": range(n), "text": ["the same boilerplate text body here"] * n}
+        )
+        df = spark.createDataFrame(pdf).repartition(4)
+        sigs = dedup.minhash_signatures(df, num_perm=16, shingle_k=3)
+        t0 = time.time()
+        pairs = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4, bucket_cap=64)
+        got = pairs.toPandas()
+        elapsed = time.time() - t0
+        # star pattern: every doc pairs with the bucket min (doc 0) exactly
+        assert len(got) == n - 1
+        assert (got["id_a"] == 0).all()
+        assert elapsed < 120
+        # connectivity preserved: connected components put all docs in one cluster
+        clusters = dedup.cluster_pairs(pairs).toPandas()
+        assert (clusters["cluster_id"] == 0).all()
+        assert len(clusters) == n
+
+    def test_small_buckets_still_all_pairs(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": range(4), "text": ["common prefix words here for all docs"] * 4}
+        )
+        df = spark.createDataFrame(pdf)
+        sigs = dedup.minhash_signatures(df, num_perm=16)
+        got = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4, bucket_cap=64).toPandas()
+        assert len(got) == 6  # C(4,2) — below the cap keeps exhaustive pairs
+
     def test_minhash_jaccard_estimate(self, spark):
         """MinHash property: signature agreement ≈ true Jaccard."""
         a = "w" + " w".join(str(i) for i in range(200))
