@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fs
+
 from .codecs import (
     delta_decode,
     delta_decode_groups,
@@ -349,26 +351,24 @@ def _manifest_dir(out_dir: str, stage: str) -> str:
 
 
 def _write_manifests(out_dir: str, stage: str, rows: list[dict], fingerprint: str):
+    """Manifests ride the Hadoop FS API (fs.py) so resume works when
+    out_dir is s3a://, hdfs:// or file://, not only a bare local path."""
     d = _manifest_dir(out_dir, stage)
-    os.makedirs(d, exist_ok=True)
+    fs.mkdirs(d)
     for r in rows:
         r = dict(r)
         r["config"] = fingerprint
         r["written_at"] = time.time()
-        with open(os.path.join(d, f"shard-{r['shard']}.json"), "w") as f:
-            json.dump(r, f)
+        fs.write_text(os.path.join(d, f"shard-{r['shard']}.json"), json.dumps(r))
 
 
 def _read_manifests(out_dir: str, stage: str, fingerprint: str) -> dict[int, dict]:
     d = _manifest_dir(out_dir, stage)
-    if not os.path.isdir(d):
-        return {}
     out = {}
-    for name in os.listdir(d):
+    for name in fs.listdir(d):
         if not name.endswith(".json"):
             continue
-        with open(os.path.join(d, name)) as f:
-            m = json.load(f)
+        m = json.loads(fs.read_text(os.path.join(d, name)))
         if m.get("config") == fingerprint:
             out[int(m["shard"])] = m
     return out
@@ -556,7 +556,7 @@ def build_index(
             "overwrite"
         ).parquet(terms_path)
         postings.unpersist()
-    elif not os.path.isdir(terms_path):
+    elif not fs.exists(terms_path):
         spark.read.parquet(postings_path).groupBy("term").agg(
             F.sum("df").alias("df")
         ).write.mode("overwrite").parquet(terms_path)
@@ -572,9 +572,8 @@ def build_index(
         "config": fp,
         "metrics": metrics,
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f, indent=2)
+    fs.mkdirs(out_dir)
+    fs.write_json(meta_path, meta)
     return meta
 
 
@@ -584,5 +583,4 @@ def docs_lineage_xor(out_dir: str, shard: int, fp: str) -> int:
 
 
 def read_meta(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        return json.load(f)
+    return fs.read_json(os.path.join(out_dir, "meta.json"))

@@ -185,9 +185,10 @@ class Standardizer:
     """Validates filters and rewrites them to the reduced keyword set."""
 
     def __init__(self, regexp_engine: str = "js"):
-        # 're2' in the reference means linear-time matching; Python's `re`
-        # is a backtracking engine like JS's — we validate compileability
-        # here and keep matching semantics in the Python matcher.
+        # 're2' = the reference's linear-time contract: real re2 when the
+        # wheel is importable, else patterns that could backtrack
+        # superlinearly (or that re2 itself rejects) fail registration —
+        # never a silent downgrade to backtracking (see resafety.py).
         self.regexp_engine = regexp_engine
 
     def standardize(self, filters: Any, path: str | None = None) -> dict:
@@ -313,7 +314,14 @@ class Standardizer:
                 "must be either a string or a non-empty object", "regexp", _path_add(path, field)
             )
         try:
-            compile_js_regex(value, flags)
+            pat = compile_js_regex(value, flags)
+            if self.regexp_engine == "re2":
+                # honor the re2 contract: reject what real re2 rejects
+                # (backrefs/lookarounds) and superlinear-backtracking shapes
+                # (reference lib/engine/objects/regexpCondition.js:37)
+                from .resafety import check_re2_safe
+
+                check_re2_safe(value, pat.flags)
         except Exception as err:
             raise KoncordeParseError(
                 f'cannot parse regexp expression "/{value}/{flags or ""}" ({err})',

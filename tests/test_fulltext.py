@@ -171,6 +171,41 @@ class TestIndexSpark:
         )
         assert after == before
 
+    def test_build_and_resume_over_file_uri(self, spark, small_corpus_pdf, tmp_path):
+        """file:// out_dir exercises the Hadoop FileSystem metadata route
+        (fs.py) end-to-end: manifests must be written, read back, and the
+        resume skip must hold exactly as for bare local paths."""
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index, read_meta
+        from koncorde_spark.fulltext import fs
+
+        out = "file://" + str(tmp_path / "uri_idx")
+        corpus = spark.createDataFrame(small_corpus_pdf).repartition(4)
+        meta1 = build_index(spark, corpus, out, IndexConfig(n_shards=4), resume=True)
+        assert meta1["n_docs"] == len(small_corpus_pdf)
+        # manifests landed through the Hadoop route
+        names = fs.listdir(out + "/_manifests/postings")
+        assert sorted(names) == [f"shard-{s}.json" for s in range(4)]
+        # resume: second build must skip the postings stage entirely
+        meta2 = build_index(spark, corpus, out, IndexConfig(n_shards=4), resume=True)
+        assert meta2["metrics"]["postings_sec"] < 1.0
+        assert read_meta(out)["n_docs"] == meta1["n_docs"]
+
+    def test_fs_wrapper_roundtrip(self, spark, tmp_path):
+        from koncorde_spark.fulltext import fs
+
+        base = "file://" + str(tmp_path / "fsw")
+        assert not fs.exists(base)
+        fs.mkdirs(base + "/sub")
+        fs.write_json(base + "/sub/a.json", {"x": 1})
+        fs.write_text(base + "/sub/b.json", "{}")
+        assert fs.exists(base + "/sub/a.json")
+        assert fs.read_json(base + "/sub/a.json") == {"x": 1}
+        assert sorted(fs.listdir(base + "/sub")) == ["a.json", "b.json"]
+        assert fs.listdir(base + "/nope") == []
+        # overwrite replaces content
+        fs.write_json(base + "/sub/a.json", {"x": 2})
+        assert fs.read_json(base + "/sub/a.json") == {"x": 2}
+
     def test_sql_shard_parity(self, spark, small_corpus_pdf):
         from koncorde_spark.fulltext.indexer import doc_id_of, sql_shard_col
 
