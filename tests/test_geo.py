@@ -24,6 +24,9 @@ class TestGeopointFormats:
         {"latLon": "43.6073913, 3.9109057"},
         {"lat_lon": [43.6073913, 3.9109057]},
         {"latLon": "spf8prntv18e"},
+        {"lat_lon": {"lat": 43.6073913, "lon": 3.9109057}},
+        {"lat_lon": "43.6073913, 3.9109057"},
+        {"lat_lon": "spf8prntv18e"},
     ]
 
     @pytest.mark.parametrize("fmt", FORMATS)
@@ -177,3 +180,39 @@ class TestNotGeospatial:
         got_out = set(k.test({"pos": OUTSIDE}))
         assert got_in == {near}
         assert got_out == {notnear}
+
+
+class TestShapeFormatMatrix:
+    """Montpellier matrix: every geo shape keyword registered with every
+    accepted point format must match the same inside doc and reject the
+    same outside doc (the reference exercises this per-shape across
+    geo*.test.js; here it's one parametrized grid)."""
+
+    POINT_FORMATS = TestGeopointFormats.FORMATS
+
+    @pytest.mark.parametrize("fmt", POINT_FORMATS)
+    def test_geodistance_center_formats(self, fmt):
+        f = {"geoDistance": {"pos": fmt, "distance": "10km"}}
+        assert register_and_test(f, {"pos": INSIDE})
+        assert not register_and_test(f, {"pos": OUTSIDE})
+
+    @pytest.mark.parametrize("fmt", POINT_FORMATS)
+    def test_geodistancerange_center_formats(self, fmt):
+        f = {"geoDistanceRange": {"pos": fmt, "from": "1m", "to": "10km"}}
+        assert register_and_test(f, {"pos": {"lat": 43.62, "lon": 3.92}})
+        assert not register_and_test(f, {"pos": OUTSIDE})
+
+    @pytest.mark.parametrize("fmt", POINT_FORMATS)
+    def test_doc_point_formats_against_bbox(self, fmt):
+        f = {"geoBoundingBox": {"pos": BOX}}
+        assert register_and_test(f, {"pos": fmt})
+
+    @pytest.mark.parametrize("fmt", POINT_FORMATS)
+    def test_polygon_vertex_formats(self, fmt):
+        f = {"geoPolygon": {"pos": {"points": [
+            fmt, [43.5810609, 3.8433703], [43.5810609, 3.9282093],
+        ]}}}
+        # near the triangle base: inside regardless of whether the fmt
+        # vertex decodes to the exact point or the geohash cell center
+        assert register_and_test(f, {"pos": {"lat": 43.585, "lon": 3.886}})
+        assert not register_and_test(f, {"pos": OUTSIDE})
