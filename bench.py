@@ -161,6 +161,14 @@ def main():
         .agg(*[F.sum(f"mh_{i}") for i in range(16)])
         .collect(),
     )
+    n_corpus = corpus.count()
+    timed(
+        "simhash",
+        lambda: dedup.simhash(corpus, "content", "path")
+        .agg(F.expr("bit_xor(simhash)"))  # sum would overflow 60-bit values
+        .collect(),
+    )
+    extra["simhash_docs_per_sec"] = round(n_corpus / queries["simhash"], 1)
 
     rng = np.random.default_rng(5)
     import pandas as pd

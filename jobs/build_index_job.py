@@ -30,14 +30,13 @@ def main():
     spark.sparkContext.setLogLevel("WARN")
 
     from koncorde_spark.fulltext.indexer import IndexConfig, build_index
-    from koncorde_spark.sources import synthetic_corpus_df
+    from koncorde_spark.sources import load_corpus, synthetic_corpus_df
 
     if args.synthetic_rows:
         corpus = synthetic_corpus_df(spark, n_rows=args.synthetic_rows, seed=42)
-    elif args.input and args.input.count(".") and "/" not in args.input:
-        corpus = spark.read.table(args.input)  # Iceberg / catalog table
     elif args.input:
-        corpus = spark.read.parquet(args.input)
+        # iceberg:<catalog.db.table> / table:<name> / parquet path
+        corpus = load_corpus(spark, args.input)
     else:
         raise SystemExit("either --input or --synthetic-rows is required")
 

@@ -33,12 +33,31 @@ def js_number_repr(x: float) -> str:
     if math.isinf(x):
         return "null"
     if x == int(x) and abs(x) < 1e21:
+        r = repr(x)
+        if "e" in r:
+            # ≥1e16 integral doubles: JS prints the shortest-roundtrip
+            # digits zero-padded, NOT the exact integer value
+            mant, exp = r.split("e")
+            neg = mant.startswith("-")
+            digits = mant.lstrip("-").replace(".", "")
+            pad = int(exp) + 1 - len(digits)
+            return ("-" if neg else "") + digits + "0" * pad
         return str(int(x))
     r = repr(x)
-    if "e" in r:
-        # JS prints e+21 / e-7 style with explicit sign; repr already does.
+    if "e" not in r:
         return r
-    return r
+    # JS exponent formatting differs from Python repr in two ways:
+    # no zero-padding ('1e-7', not '1e-07'), and decimal notation is kept
+    # down to 1e-6 (repr switches to exponent already at 1e-5).
+    mant, exp = r.split("e")
+    ei = int(exp)
+    if -7 < ei < 0:
+        neg = mant.startswith("-")
+        digits = mant.lstrip("-").replace(".", "")
+        dec = "0." + "0" * (-ei - 1) + digits
+        return ("-" if neg else "") + dec
+    sign = "+" if ei >= 0 else "-"
+    return f"{mant}e{sign}{abs(ei)}"
 
 
 def stable_stringify(obj: Any) -> str:

@@ -1,3 +1,13 @@
-from .corpus import synthetic_corpus_pandas, synthetic_corpus_df, corpus_from_documents
+from .corpus import (
+    corpus_from_documents,
+    load_corpus,
+    synthetic_corpus_df,
+    synthetic_corpus_pandas,
+)
 
-__all__ = ["corpus_from_documents", "synthetic_corpus_df", "synthetic_corpus_pandas"]
+__all__ = [
+    "corpus_from_documents",
+    "load_corpus",
+    "synthetic_corpus_df",
+    "synthetic_corpus_pandas",
+]

@@ -83,6 +83,36 @@ def synthetic_corpus_df(spark, n_rows: int = 5000, seed: int = 42, partitions: i
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, schema=schema)
 
 
+REQUIRED_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def load_corpus(spark, source: str):
+    """Load the input_hint corpus from any supported source.
+
+    - ``table:<name>`` or ``iceberg:<name>`` → ``spark.read.table`` (the
+      Iceberg path: Spark reads Iceberg through its catalog integration,
+      e.g. ``iceberg:prod.code.files``; also covers Hive/temp tables);
+    - a bare catalog-qualified name (dots, no slashes) → same;
+    - anything else → parquet path.
+
+    Validates the BASELINE.json input_hint schema
+    (repo, path, commit, lang, content) before returning.
+    """
+    if source.startswith(("table:", "iceberg:")):
+        df = spark.read.table(source.split(":", 1)[1])
+    elif "." in source and "/" not in source and not source.endswith(".parquet"):
+        df = spark.read.table(source)
+    else:
+        df = spark.read.parquet(source)
+    missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"corpus source {source!r} is missing required columns {missing}; "
+            f"expected {list(REQUIRED_COLUMNS)} (BASELINE.json input_hint)"
+        )
+    return df.select(*REQUIRED_COLUMNS)
+
+
 def corpus_from_documents(spark, sf_dir: str):
     """Adapter: driver documents.parquet → input_hint corpus shape."""
     from pyspark.sql import functions as F

@@ -215,3 +215,28 @@ class TestIndexSpark:
         ).collect()
         for r in rows:
             assert doc_id_of(r["repo"], r["path"], r["commit"]) % 8 == r["s"]
+
+
+class TestLoadCorpus:
+    def test_table_branch(self, spark, small_corpus_pdf):
+        from koncorde_spark.sources import load_corpus
+
+        spark.createDataFrame(small_corpus_pdf).createOrReplaceTempView("corpus_tbl")
+        df = load_corpus(spark, "table:corpus_tbl")
+        assert df.columns == ["repo", "path", "commit", "lang", "content"]
+        assert df.count() == len(small_corpus_pdf)
+
+    def test_parquet_branch(self, spark, small_corpus_pdf, tmp_path):
+        from koncorde_spark.sources import load_corpus
+
+        p = str(tmp_path / "c.parquet")
+        spark.createDataFrame(small_corpus_pdf).write.parquet(p)
+        df = load_corpus(spark, p)
+        assert df.count() == len(small_corpus_pdf)
+
+    def test_schema_validation(self, spark):
+        from koncorde_spark.sources import load_corpus
+
+        spark.range(3).createOrReplaceTempView("bad_tbl")
+        with pytest.raises(ValueError, match="missing required columns"):
+            load_corpus(spark, "table:bad_tbl")
