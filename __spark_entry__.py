@@ -334,9 +334,9 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koncorde_spark.pipeline.multimodal import feature_extract, synthetic_media_df
+    from koncorde_spark.pipeline.multimodal import feature_extract, media_from_documents
 
-    media = synthetic_media_df(spark, n_rows=120)
+    media = media_from_documents(spark, sf_dir)
     return feature_extract(media).select("media_id", "kind", "content_sha", "n_bytes")
 
 
@@ -404,11 +404,17 @@ def oracle_sql() -> dict[str, str]:
         "langid": text.language_id_sql("documents"),
         "fingerprint": text.fingerprint_sql("documents"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
-        # simhash64 / lsh_pairs / ann_lsh / media_features / perc_geo_shapes:
-        # intentionally no oracle (UDF-hash / LSH bucketing / stubbed media /
-        # haversine+winding not SQL-reproducible bit-exactly) → rows-only.
+        "media_features": _media_features_sql(),
+        # ann_lsh: intentionally no oracle (float32 hyperplane matmul not
+        # reproducible in DuckDB) → rows-only.
     }
     return out
+
+
+def _media_features_sql() -> str:
+    from koncorde_spark.pipeline.multimodal import media_features_sql
+
+    return media_features_sql("documents")
 
 
 def _dnfs(filters: list[dict]) -> dict[str, list[list[dict]]]:

@@ -13,26 +13,48 @@ import numpy as np
 
 _MAX_VARINT_BYTES = 10
 
+# LEB128 length thresholds: value >= _NB_THRESHOLDS[i] needs > i+1 bytes
+_NB_THRESHOLDS = np.array(
+    [1 << (7 * i) for i in range(1, _MAX_VARINT_BYTES)], dtype=np.uint64
+)
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative int64/uint64 values."""
-    arr = np.asarray(values, dtype=np.uint64)
-    if arr.size == 0:
-        return b""
-    # bytes needed per value: 1 + floor(bit_length-1 / 7)
-    nb = np.ones(arr.shape, dtype=np.int64)
-    for i in range(1, _MAX_VARINT_BYTES):
-        nb += (arr >= (np.uint64(1) << np.uint64(7 * i))).astype(np.int64)
+
+def _varint_lengths(arr: np.ndarray) -> np.ndarray:
+    """Bytes per value in ONE pass (binary search over 9 thresholds)
+    instead of 9 full compare+add passes — the encoder is memory-bandwidth
+    bound at 32-way parallelism, so passes over the array are the cost."""
+    return np.searchsorted(_NB_THRESHOLDS, arr, side="right").astype(np.int64) + 1
+
+
+def _pack_leb128(arr: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """Scatter LEB128 bytes for values ``arr`` with per-value lengths ``nb``."""
     starts = np.cumsum(nb) - nb
     out = np.zeros(int(nb.sum()), dtype=np.uint8)
     for i in range(_MAX_VARINT_BYTES):
         sel = nb > i
         if not sel.any():
             break
-        byte = (arr[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
-        cont = (nb[sel] > i + 1).astype(np.uint8) << 7
-        out[starts[sel] + i] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+        if sel.all():
+            # fast path: skip the mask gather (for 63-bit doc-id deltas the
+            # first ~8 iterations select every element — masking would copy
+            # the whole array each pass)
+            byte = (arr >> np.uint64(7 * i)) & np.uint64(0x7F)
+            cont = (nb > i + 1).astype(np.uint8) << 7
+            out[starts + i] = byte.astype(np.uint8) | cont
+        else:
+            byte = (arr[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
+            cont = (nb[sel] > i + 1).astype(np.uint8) << 7
+            out[starts[sel] + i] = byte.astype(np.uint8) | cont
+    return out
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative int64/uint64 values."""
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    nb = _varint_lengths(arr)
+    return _pack_leb128(arr, nb).tobytes()
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -64,18 +86,8 @@ def varint_encode_groups(values: np.ndarray, group_offsets: np.ndarray) -> tuple
     arr = np.asarray(values, dtype=np.uint64)
     if arr.size == 0:
         return b"", np.zeros(len(group_offsets), dtype=np.int64)
-    nb = np.ones(arr.shape, dtype=np.int64)
-    for i in range(1, _MAX_VARINT_BYTES):
-        nb += (arr >= (np.uint64(1) << np.uint64(7 * i))).astype(np.int64)
-    starts = np.cumsum(nb) - nb
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
-    for i in range(_MAX_VARINT_BYTES):
-        sel = nb > i
-        if not sel.any():
-            break
-        byte = (arr[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
-        cont = (nb[sel] > i + 1).astype(np.uint8) << 7
-        out[starts[sel] + i] = byte.astype(np.uint8) | cont
+    nb = _varint_lengths(arr)
+    out = _pack_leb128(arr, nb)
     byte_cum = np.concatenate(([0], np.cumsum(nb)))
     byte_offsets = byte_cum[group_offsets]
     return out.tobytes(), byte_offsets.astype(np.int64)

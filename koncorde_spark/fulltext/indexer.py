@@ -230,16 +230,22 @@ def _partials_fn(n_shards: int):
             hot = df_local > max(2, int(HOT_TERM_BATCH_FRACTION * n_docs))
             salt = np.where(hot[u_terms], shards[u_rows], 0).astype(np.int64)
 
-            # group by (term, salt), doc-sorted within group
-            order = np.lexsort((doc_ids[u_rows], salt, u_terms))
-            g_terms = u_terms[order]
+            # group by (term, salt), doc-sorted within group. One fused
+            # (term, salt) key → 2-key lexsort (one fewer O(entries) sort
+            # pass), and a single u_rows[order] gather reused for ids + dls
+            # (this stage is bandwidth-bound at 32-way parallelism).
+            key = u_terms * (n_shards + 1) + salt
+            e_ids = doc_ids[u_rows]
+            order = np.lexsort((e_ids, key))
+            u_rows_ord = u_rows[order]
             g_salt = salt[order]
-            g_ids = doc_ids[u_rows][order].astype(np.uint64)
+            g_ids = e_ids[order].astype(np.uint64)
             g_tf = tf[order].astype(np.uint64)
-            g_dl = dls[u_rows][order].astype(np.uint64)
-            key = g_terms * (n_shards + 1) + g_salt
-            bounds = np.nonzero(np.diff(key))[0] + 1
-            offsets = np.concatenate(([0], bounds, [len(key)]))
+            g_dl = dls[u_rows_ord].astype(np.uint64)
+            g_key = key[order]
+            g_terms = u_terms[order]
+            bounds = np.nonzero(np.diff(g_key))[0] + 1
+            offsets = np.concatenate(([0], bounds, [len(g_key)]))
 
             ids_buf, ids_off = delta_encode_groups(g_ids, offsets)
             tf_buf, tf_off = varint_encode_groups(g_tf, offsets)

@@ -77,6 +77,44 @@ def synthetic_media_df(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from the driver documents table:
+    the text's UTF-8 bytes stand in for media payloads so the mapInPandas
+    feature plumbing (sha/byte-length lineage) has a DuckDB-reproducible
+    oracle; kind cycles image/audio/video by doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("bytes"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("n_chars") % 100 + 1).cast("int").alias("n_frames"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def media_features_sql(table: str) -> str:
+    """DuckDB twin of feature_extract(media_from_documents(...)) on the
+    lineage columns (features stay a declared decode stub)."""
+    return f"""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           sha256(text) AS content_sha,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM {table}
+    """
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: sha256-seeded vector."""
     h = hashlib.sha256(payload).digest()

@@ -84,12 +84,21 @@ def percolate(
     index: CompiledIndex,
     id_col: str = "doc_id",
     result_col: str = "filter_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Return a DataFrame of (id_col, filter_id) match pairs."""
+    """Return a DataFrame of (id_col, filter_id[, keep_cols...]) match pairs.
+
+    ``keep_cols`` are passed through to the output unchanged (one value per
+    match pair) — used by streaming windowed aggregations to carry the
+    event-time column through the matcher without a post-hoc join.
+    """
     spark = df.sparkSession
+    keep_cols = list(keep_cols or [])
     cols, alias_to_path = _field_columns(df, index)
 
-    projection = [F.col(id_col).alias("__kid")] + cols
+    projection = [F.col(id_col).alias("__kid")]
+    projection += [F.col(c).alias(f"__kp{j}") for j, c in enumerate(keep_cols)]
+    projection += cols
     if index.needs_docs:
         projection.append(F.struct(*[F.col(c) for c in df.columns]).alias("__kdoc"))
     narrow = df.select(*projection)
@@ -97,6 +106,7 @@ def percolate(
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [T.StructField(id_col, id_type), T.StructField(result_col, T.StringType())]
+        + [T.StructField(c, df.schema[c].dataType) for c in keep_cols]
     )
 
     bc = spark.sparkContext.broadcast(index)
@@ -114,11 +124,12 @@ def percolate(
             if len(rows) == 0:
                 continue
             fid_arr = np.asarray(ci.filter_ids, dtype=object)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf["__kid"].to_numpy()[rows],
-                    result_col: fid_arr[fords],
-                }
-            )
+            out = {
+                id_col: pdf["__kid"].to_numpy()[rows],
+                result_col: fid_arr[fords],
+            }
+            for j, c in enumerate(keep_cols):
+                out[c] = pdf[f"__kp{j}"].iloc[rows].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema=out_schema)

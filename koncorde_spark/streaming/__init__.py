@@ -1,3 +1,3 @@
-from .percolate_stream import percolate_stream
+from .percolate_stream import percolate_stream, windowed_match_counts
 
-__all__ = ["percolate_stream"]
+__all__ = ["percolate_stream", "windowed_match_counts"]

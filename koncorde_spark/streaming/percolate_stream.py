@@ -38,3 +38,43 @@ def percolate_stream(
     if not stream_df.isStreaming:
         raise ValueError("percolate_stream expects a streaming DataFrame")
     return percolate(stream_df, index, id_col=id_col, result_col=result_col)
+
+
+def windowed_match_counts(
+    stream_df: DataFrame,
+    index: CompiledIndex,
+    time_col: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    id_col: str = "doc_id",
+    result_col: str = "filter_id",
+) -> DataFrame:
+    """Streaming per-window, per-filter match counts with late-data handling.
+
+    percolate (stateless) → event-time watermark → windowed count. The
+    watermark bounds state: windows older than ``watermark`` are finalized
+    and dropped from the state store, so the aggregation runs indefinitely
+    at 100-TB/day rates without unbounded memory. Output is append-mode
+    compatible (finalized windows only).
+    """
+    from pyspark.sql import functions as F
+
+    if not stream_df.isStreaming:
+        raise ValueError("windowed_match_counts expects a streaming DataFrame")
+    pairs = percolate(
+        stream_df.withWatermark(time_col, watermark),
+        index,
+        id_col=id_col,
+        result_col=result_col,
+        keep_cols=[time_col],
+    )
+    return (
+        pairs.groupBy(F.window(F.col(time_col), window), F.col(result_col))
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            result_col,
+            "count",
+        )
+    )

@@ -56,3 +56,54 @@ def test_stream_rejects_batch_df(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         percolate_stream(df, k.compiled(), id_col="id")
+
+
+@pytest.mark.spark
+def test_windowed_match_counts(spark, tmp_path):
+    """Watermarked per-window per-filter counts equal the batch groupBy."""
+    import datetime
+
+    from koncorde_spark.streaming import windowed_match_counts
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wsrc")
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "kind": ["a" if i % 2 == 0 else "b" for i in range(120)],
+            "ts": [base + datetime.timedelta(seconds=30 * i) for i in range(120)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    k = Koncorde()
+    k.register({"equals": {"kind": "a"}})
+    k.register({"equals": {"kind": "b"}})
+    ci = k.compiled()
+
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (r.window_start, r.filter_id, int(r["count"]))
+        for r in percolate(batch_df, ci, id_col="doc_id", keep_cols=["ts"])
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "filter_id")
+        .count()
+        .select(F.col("w.start").alias("window_start"), "filter_id", "count")
+        .collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = windowed_match_counts(stream, ci, time_col="ts", window="5 minutes", id_col="doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.filter_id, int(r["count"]))
+        for r in spark.sql("select * from perc_win_test").collect()
+    }
+    assert got == expected and len(got) >= 2
