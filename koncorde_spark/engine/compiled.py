@@ -705,15 +705,21 @@ class CompiledIndex:
         docs = batch.docs
         if docs is None:
             return
-        from .objectmatcher import match_any
+        from .objectmatcher import match_document
 
         for mp in self.match_patterns:
-            rows = [i for i, d in enumerate(docs) if isinstance(d, dict) and match_any(d, mp.pattern)]
+            rows = [
+                i for i, d in enumerate(docs)
+                if isinstance(d, dict) and match_document(d, mp.pattern)
+            ]
             if rows:
                 r = np.asarray(rows, dtype=np.int64)
                 emit(np.repeat(r, len(mp.sfs)), np.tile(mp.sfs, len(r)))
         for mp in self.notmatch_patterns:
-            rows = [i for i, d in enumerate(docs) if not (isinstance(d, dict) and match_any(d, mp.pattern))]
+            rows = [
+                i for i, d in enumerate(docs)
+                if not (isinstance(d, dict) and match_document(d, mp.pattern))
+            ]
             if rows:
                 r = np.asarray(rows, dtype=np.int64)
                 emit(np.repeat(r, len(mp.sfs)), np.tile(mp.sfs, len(r)))

@@ -75,3 +75,29 @@ def match_object(obj: dict, match: dict) -> bool:
         if not match_any(obj[key], want):
             return False
     return True
+
+
+def match_document(doc: dict, pattern: dict) -> bool:
+    """Top-level match against a document.
+
+    The reference matcher runs against the FLATTENED document (dot-path
+    keys with intermediate nodes), so a pattern key like 'foo.bar.baz'
+    resolves through nesting at the root level (match.test.js:124-130).
+    Nested pattern objects compare against raw nested values (plain-key
+    lookup, matchObject semantics).
+    """
+    for key, want in pattern.items():
+        if key in doc:
+            value = doc[key]
+        elif "." in key:
+            value = doc
+            for part in key.split("."):
+                if isinstance(value, dict) and part in value:
+                    value = value[part]
+                else:
+                    return False
+        else:
+            return False
+        if not match_any(value, want):
+            return False
+    return True
