@@ -303,6 +303,19 @@ def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, pairs)
 
 
+def _q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidates → Jaccard ≥ 0.5 → connected
+    components (iterative min-label propagation). Oracle: DuckDB
+    recursive-CTE transitive closure over the same verified pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, num_perm=16)
+    cand = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+    verified = dedup.jaccard_pairs(docs, cand).where(F.col("jaccard") >= 0.5)
+    return dedup.cluster_pairs(verified.select("id_a", "id_b")).select(
+        F.col("id").alias("id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
 def _q_tokstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.token_stats(docs)
@@ -329,8 +342,11 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-expressed LSH ANN (frozen literal hyperplanes) — the
+    oracle-checkable twin of the float32-matmul scale path
+    (similarity.ann_topk, pytest recall-checked)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ann_topk(emb, ANN_QUERY_VEC, ANN_K, bits=6)
+    return similarity.ann_topk_catalyst(emb, ANN_QUERY_VEC, ANN_K, bits=6)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash16": _q_minhash16,
         "simhash64": _q_simhash64,
         "lsh_pairs": _q_lsh_pairs,
+        "dedup_near": _q_dedup_near,
         "tokstats": _q_tokstats,
         "quality": _q_quality,
         "langid": _q_langid,
@@ -399,14 +416,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash16": dedup.minhash_signatures_sql("documents", num_perm=16),
         "simhash64": dedup.simhash_sql("documents"),
         "lsh_pairs": dedup.lsh_pairs_sql("documents"),
+        "dedup_near": dedup.near_clusters_sql("documents"),
         "tokstats": text.token_stats_sql("documents"),
         "quality": text.quality_score_sql("documents"),
         "langid": text.language_id_sql("documents"),
         "fingerprint": text.fingerprint_sql("documents"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
+        "ann_lsh": similarity.ann_topk_catalyst_sql(
+            "embeddings", ANN_QUERY_VEC, ANN_K, bits=6
+        ),
         "media_features": _media_features_sql(),
-        # ann_lsh: intentionally no oracle (float32 hyperplane matmul not
-        # reproducible in DuckDB) → rows-only.
     }
     return out
 

@@ -300,6 +300,42 @@ def jaccard_pairs(
     )
 
 
+def near_clusters_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of the near-dup clustering pipeline: LSH candidate
+    pairs → Jaccard threshold → connected components via a recursive CTE
+    (transitive closure + min-reachable label). Verifies the ITERATIVE
+    min-label-propagation of cluster_pairs against an independent
+    fixpoint computation."""
+    pairs = lsh_pairs_sql(table, text_col, id_col, num_perm, bands, bucket_cap)
+    return f"""
+    WITH RECURSIVE
+    p AS (
+      SELECT id_a, id_b FROM ({pairs}) q WHERE jaccard >= {jaccard_threshold!r}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS id, least(src, min(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+    """
+
+
 def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 

@@ -149,6 +149,16 @@ class TestSimilarity:
         assert list(got["vec_id"]) == list(order)
         assert got.iloc[0]["vec_id"] == 0 and got.iloc[0]["cosine"] == pytest.approx(1.0)
 
+    def test_ann_catalyst_matches_fast_path(self, emb_df):
+        """The oracle-checkable Catalyst ANN and the float32-matmul scale
+        path bucket identically away from sign boundaries — same top-k on
+        the same data (literal rounding only shifts dots by <1e-6)."""
+        df, vecs = emb_df
+        q = vecs[0].astype(np.float64)
+        fast = similarity.ann_topk(df, q.tolist(), 10, bits=4).toPandas()
+        cata = similarity.ann_topk_catalyst(df, q.tolist(), 10, bits=4).toPandas()
+        assert list(fast["vec_id"]) == list(cata["vec_id"])
+
     def test_ann_recall(self, emb_df):
         df, vecs = emb_df
         q = vecs[0].astype(np.float64)
