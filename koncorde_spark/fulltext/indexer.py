@@ -55,7 +55,7 @@ from .codecs import (
     varint_encode,
     varint_encode_groups,
 )
-from .tokenizer import tokenize_arrow, tokenize_series
+from .tokenizer import count_tokens_arrow, tokenize_arrow, tokenize_series
 
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
@@ -158,7 +158,8 @@ def _docs_stage_fn(n_shards: int):
             if len(pdf) == 0:
                 continue
             doc_ids = _doc_ids_series(pdf["repo"], pdf["path"], pdf["commit"])
-            _codes, _rows, _vocab, dl = tokenize_arrow(pdf["content"])
+            # doc lengths only — count token runs without materializing them
+            dl = count_tokens_arrow(pdf["content"])
             shas = [hashlib.sha256(c.encode()).hexdigest() for c in pdf["content"]]
             yield pd.DataFrame(
                 {

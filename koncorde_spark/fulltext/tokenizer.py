@@ -55,8 +55,9 @@ def tokenize_arrow(texts: pd.Series):
     import pyarrow.compute as pc
 
     # null content must tokenize to [] — astype(str) would render None as
-    # the literal string 'None' and pollute postings with a phantom token
-    arr = pa.Array.from_pandas(texts.fillna("").astype(str))
+    # the literal string 'None' and pollute postings with a phantom token.
+    # Explicit string type: an empty batch would otherwise infer null-typed.
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -75,6 +76,23 @@ def tokenize_arrow(texts: pd.Series):
         parents = parents[keep]
     dls = np.bincount(parents, minlength=len(texts)).astype(np.int64)
     return codes, parents, vocab, dls
+
+
+def count_tokens_arrow(texts: pd.Series) -> np.ndarray:
+    """Token count per row WITHOUT materializing tokens.
+
+    ``count_substring_regex`` over the same canonical rule counts the
+    maximal [a-z0-9_]+ runs directly — identical to len(tokenize) by
+    construction, ~2× faster, and allocation-free compared to the full
+    split+flatten+dictionary-encode path. Used where only doc lengths are
+    needed (the indexer docs stage)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+    return pc.count_substring_regex(pc.utf8_lower(arr), TOKEN_PATTERN).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
 
 
 def term_frequencies(tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:

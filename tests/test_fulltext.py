@@ -53,6 +53,23 @@ class TestTokenizer:
         assert tokenize_text("") == []
         assert tokenize_text("...") == []
 
+    @given(st.lists(st.text(max_size=40), max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def test_count_matches_full_tokenize(self, texts):
+        """count_tokens_arrow (regex run count) must equal the full
+        tokenizer's per-row lengths for arbitrary unicode + empty rows."""
+        import pandas as pd
+
+        from koncorde_spark.fulltext.tokenizer import (
+            count_tokens_arrow,
+            tokenize_text,
+        )
+
+        s = pd.Series(texts, dtype=object)
+        got = count_tokens_arrow(s)
+        want = [len(tokenize_text(t or "")) for t in texts]
+        assert got.tolist() == want
+
 
 def _mk_postings(rng, n_docs, n_terms, k1=1.2, b=0.75, block_size=8):
     """Random postings with correct block metadata for the WAND test."""
