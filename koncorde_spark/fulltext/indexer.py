@@ -307,11 +307,14 @@ def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_sh
         salts = np.repeat(pdf["salt"].to_numpy(dtype=np.int64), counts)
         shards = ids % n_shards
 
-        order = np.lexsort((ids, shards, salts, tcodes))
-        ids, tfs, dls = ids[order], tfs[order], dls[order]
-        tcodes, salts, shards = tcodes[order], salts[order], shards[order]
-
+        # fused (term, salt, shard) key → 2-key lexsort instead of 4
+        # (two fewer O(entries) sort passes; this stage is bandwidth-bound)
         key = (tcodes * (n_shards + 1) + salts) * n_shards + shards
+        order = np.lexsort((ids, key))
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        tcodes, shards = tcodes[order], shards[order]
+        key = key[order]
+
         bounds = np.nonzero(np.diff(key))[0] + 1
         offsets = np.concatenate(([0], bounds, [len(key)]))
         starts = offsets[:-1]

@@ -47,9 +47,9 @@ def tokenize_arrow(texts: pd.Series):
     - ``dls``: int64 numpy array, token count per input row.
 
     Everything stays in Arrow/C++ until the (small) vocabulary — no
-    per-token Python objects. This halves the memory traffic of the
-    pandas str.findall path, which is what limits 32-worker scaling
-    (token object churn saturates DRAM bandwidth before CPUs).
+    per-token Python objects. (A numpy byte-LUT ASCII fast path was
+    measured at 2.3x SLOWER than Arrow's re2 split on this corpus —
+    ~12 full-buffer passes vs one streaming C++ pass — and removed.)
     """
     import pyarrow as pa
     import pyarrow.compute as pc
