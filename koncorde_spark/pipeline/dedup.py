@@ -77,31 +77,106 @@ def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
-def _shingles_from_tokens(tokens_col_name: str, k: int):
-    """Token k-gram shingles → 60-bit md5 ids (Catalyst, JVM-side).
+SHINGLE_BASE = 8191  # Horner base for combining per-token hashes
+
+
+def _horner_spark(th: str, k: int) -> str:
+    """Horner-fold k consecutive 60-bit token hashes (1-based position i in
+    ``th``) into one shingle id < MINHASH_PRIME. Every intermediate stays
+    < P·(BASE+1) ≈ 2^44 — safe in BIGINT on every engine."""
+    p, c = MINHASH_PRIME, SHINGLE_BASE
+    acc = f"element_at({th}, i) % {p}L"
+    for j in range(1, k):
+        acc = f"(({acc}) * {c} + element_at({th}, i + {j}) % {p}L) % {p}L"
+    return acc
+
+
+def _horner_duckdb(th: str, k: int) -> str:
+    p, c = MINHASH_PRIME, SHINGLE_BASE
+    acc = f"{th}[i] % {p}"
+    for j in range(1, k):
+        acc = f"(({acc}) * {c} + {th}[i + {j}] % {p}) % {p}"
+    return acc
+
+
+def _token_hashes_spark(tokens_col_name: str):
+    """Per-token 60-bit md5 ids (Catalyst, JVM-side) — the same term hash
+    as SimHash, so one frozen rule covers both operators.
 
     MUST reference a *projected column* holding the token array: a raw
     tokenizer expression inlined here would be re-evaluated per lambda
-    element (Catalyst does no CSE inside higher-order functions), turning
-    shingling O(tokens²) per document.
+    element (Catalyst does no CSE inside higher-order functions)."""
+    return F.expr(
+        f"transform({tokens_col_name},"
+        f" tk -> cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint))"
+    )
+
+
+def _shingles_from_hashes(hash_col_name: str, k: int):
+    """Token k-gram shingle ids (Catalyst) from a *projected* column of
+    per-token 60-bit hashes (see ``_token_hashes_spark``): Horner-combine
+    k consecutive hashes. One md5 per token instead of one per shingle
+    (k× fewer digests, no per-shingle string assembly); the identical
+    formula is vectorized in numpy by the Arrow scale path.
 
     Guarded with CASE: Spark's sequence(1, 0) would generate a *descending*
     [1, 0] rather than an empty array, so short docs get an explicit
     empty shingle list (→ null minhash, same as the DuckDB twin).
     """
-    t = tokens_col_name
+    t = hash_col_name
     return F.expr(
         f"""
         CASE WHEN size({t}) >= {k} THEN
           transform(
             sequence(1, size({t}) - {k - 1}),
-            i -> cast(conv(substring(md5(concat_ws(' ',
-                   slice({t}, i, {k}))), 1, 15), 16, 10) as bigint)
+            i -> {_horner_spark(t, k)}
           )
         ELSE array()
         END
         """
     )
+
+
+def _minhash_batch(
+    texts: pd.Series, params: list[tuple[int, int]], shingle_k: int
+) -> list[np.ndarray]:
+    """Vectorized minhash over one Arrow batch: tokenize the whole batch
+    (Arrow re2), md5 only the batch's (small) unique-term vocabulary, then
+    pure int64 numpy for shingle Horner-fold + per-permutation segment
+    mins. Returns one int64 array per permutation with -1 marking docs too
+    short to shingle (converted to null by the caller)."""
+    from ..fulltext.tokenizer import tokenize_arrow
+
+    p, c, k = MINHASH_PRIME, SHINGLE_BASE, shingle_k
+    n = len(texts)
+    codes, rows, vocab, dls = tokenize_arrow(texts)
+    out = [np.full(n, -1, dtype=np.int64) for _ in params]
+    if len(codes) < k:
+        return out
+    hs = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in vocab),
+        dtype=np.int64,
+        count=len(vocab),
+    )
+    th = hs[codes] % p
+    # Horner over k consecutive token hashes; entries whose window crosses a
+    # document boundary are dropped afterwards (tokens are in row order, so
+    # the survivors stay contiguous per row).
+    acc = th[: len(th) - k + 1].copy()
+    for j in range(1, k):
+        acc *= c
+        acc += th[j : len(th) - k + 1 + j]
+        acc %= p
+    valid = rows[: len(th) - k + 1] == rows[k - 1 :]
+    s = acc[valid]
+    counts = np.maximum(dls - (k - 1), 0)
+    nz = np.flatnonzero(counts)
+    if len(nz) == 0:
+        return out
+    starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    for i, (a, b) in enumerate(params):
+        out[i][nz] = np.minimum.reduceat((a * s + b) % p, starts)
+    return out
 
 
 def minhash_signatures(
@@ -113,25 +188,77 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}) minhash signature columns, bit-identical to the
-    SQL twin. Docs with < k tokens get null signatures."""
+    SQL twin and to ``minhash_signatures_catalyst`` (parity-tested). Docs
+    with < k tokens get null signatures.
+
+    Scale path: a narrow ``mapInPandas`` — no explode, no shuffle, no join;
+    each Arrow batch is tokenized once (re2) and md5 touches only the
+    batch's unique vocabulary. Spark's built-in ``split`` (java.util.regex
+    + per-token UTF8String churn) measured ~25 s for 20k code docs at
+    local[32] where this path takes ~1 s — the tokenizer, not the hashing,
+    dominates minhash."""
+    params = minhash_params(num_perm, seed)
+    fields = [f"{id_col} {dict(df.dtypes)[id_col]}"] + [
+        f"mh_{i} long" for i in range(num_perm)
+    ]
+    schema = ", ".join(fields)
+
+    def fn(batches):
+        for pdf in batches:
+            cols = {id_col: pdf[id_col]}
+            sigs = _minhash_batch(pdf[text_col], params, shingle_k)
+            for i, arr in enumerate(sigs):
+                cols[f"mh_{i}"] = pd.array(arr, dtype="Int64")
+                cols[f"mh_{i}"][arr < 0] = pd.NA
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def minhash_signatures_catalyst(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Pure-Catalyst twin of ``minhash_signatures`` (identical output):
+    one projection — per-token md5 → Horner shingles → ``array_min`` per
+    permutation. Zero shuffle/join (``array_min([])`` is already null).
+    Used as an independent in-Spark oracle for the Arrow path; slower at
+    scale only because Spark's regex ``split`` is (tokenizer-bound)."""
     params = minhash_params(num_perm, seed)
     p = MINHASH_PRIME
-    # explode shingles once (each shingle md5-hashed exactly once), then one
-    # hash aggregation computes all num_perm mins — map-side partial combine
-    # keeps the shuffle at one row per (doc, perm-state), no skew (doc keys)
-    exploded = df.select(F.col(id_col), tokens_col(text_col).alias("__toks")).select(
-        F.col(id_col), F.explode(_shingles_from_tokens("__toks", shingle_k)).alias("__sid")
+    proj = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+        .select(F.col(id_col), _token_hashes_spark("__toks").alias("__th"))
+        .select(F.col(id_col), _shingles_from_hashes("__th", shingle_k).alias("__sh"))
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.pmod(F.col("__sid"), F.lit(p)) + F.lit(b), F.lit(p))).alias(
-            f"mh_{i}"
-        )
+    cols = [
+        F.array_min(
+            F.expr(f"transform(__sh, x -> ({a}L * x + {b}L) % {p}L)")
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sigs = exploded.groupBy(id_col).agg(*aggs)
-    # docs too short for any shingle keep a row with null signature,
-    # matching the SQL twin's list_aggregate([], 'min') → NULL
-    return df.select(id_col).join(sigs, id_col, "left")
+    return proj.select(F.col(id_col), *cols)
+
+
+def _shingles_sql(text_col: str, k: int, distinct: bool = False) -> str:
+    """DuckDB shingle-id list for one row — same per-token md5 + Horner
+    formula as the Spark paths."""
+    t = tokens_sql(text_col)
+    inner = (
+        f"list_transform({t},"
+        f" tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT)"
+    )
+    sh = f"""
+      (SELECT list_transform(
+        range(1, greatest(len(th) - {k - 1}, 0) + 1),
+        i -> {_horner_duckdb('th', k)})
+       FROM (SELECT {inner} AS th))
+    """
+    return f"list_distinct({sh})" if distinct else sh
 
 
 def minhash_signatures_sql(
@@ -143,21 +270,16 @@ def minhash_signatures_sql(
     seed: int = 42,
 ) -> str:
     params = minhash_params(num_perm, seed)
-    t = tokens_sql(text_col)
     p = MINHASH_PRIME
-    k = shingle_k
-    sh = f"""
-      list_transform(
-        range(1, greatest(len({t}) - {k - 1}, 0) + 1),
-        i -> ('0x' || substr(md5(array_to_string(list_slice({t}, i, i + {k - 1}), ' ')), 1, 15))::BIGINT
-      )
-    """
     cols = []
     for i, (a, b) in enumerate(params):
         cols.append(
-            f"list_aggregate(list_transform({sh}, x -> ({a} * (x % {p}) + {b}) % {p}), 'min') AS mh_{i}"
+            f"list_aggregate(list_transform(sh, x -> ({a} * x + {b}) % {p}), 'min') AS mh_{i}"
         )
-    return f"SELECT {id_col}, {', '.join(cols)} FROM {table}"
+    return (
+        f"SELECT {id_col}, {', '.join(cols)} FROM "
+        f"(SELECT {id_col}, {_shingles_sql(text_col, shingle_k)} AS sh FROM {table})"
+    )
 
 
 LSH_BUCKET_CAP = 64  # max bucket size joined all-pairs; larger → star pattern
@@ -237,13 +359,7 @@ def lsh_pairs_sql(
         + f") AS sig FROM sigs WHERE mh_0 IS NOT NULL"
         for b in range(bands)
     )
-    t = tokens_sql(text_col)
-    sh = f"""
-      list_distinct(list_transform(
-        range(1, greatest(len({t}) - {shingle_k - 1}, 0) + 1),
-        i -> ('0x' || substr(md5(array_to_string(list_slice({t}, i, i + {shingle_k - 1}), ' ')), 1, 15))::BIGINT
-      ))
-    """
+    sh = _shingles_sql(text_col, shingle_k, distinct=True)
     return f"""
     WITH sigs AS ({sigs_sql}),
     bands AS ({band_rows}),
@@ -280,9 +396,13 @@ def jaccard_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact token-shingle Jaccard for candidate pairs (verification step)."""
-    docs = df.select(F.col(id_col), tokens_col(text_col).alias("__toks")).select(
-        F.col(id_col),
-        F.array_distinct(_shingles_from_tokens("__toks", shingle_k)).alias("__sh"),
+    docs = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+        .select(F.col(id_col), _token_hashes_spark("__toks").alias("__th"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(_shingles_from_hashes("__th", shingle_k)).alias("__sh"),
+        )
     )
     a = docs.alias("a")
     b = docs.alias("b")

@@ -53,6 +53,34 @@ class TestMinhashLsh:
         sigs = dedup.minhash_signatures(docs_df, num_perm=16).toPandas().set_index("doc_id")
         assert sigs.loc[6].isna().all()
 
+    def test_arrow_path_matches_catalyst_path(self, spark):
+        """The mapInPandas scale path and the pure-Catalyst projection must
+        produce bit-identical signatures (both are also DuckDB-oracled),
+        including null text, sub-shingle docs, and exactly-k tokens."""
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "def foo(bar): return bar + 1",
+                    "the quick brown fox jumps over the lazy dog",
+                    "x",
+                    None,
+                    "a b c",
+                ],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        a = (
+            dedup.minhash_signatures(df, num_perm=16)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            dedup.minhash_signatures_catalyst(df, num_perm=16)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        for col in a.columns:
+            assert a[col].astype("Int64").equals(b[col].astype("Int64")), col
+
     def test_lsh_finds_exact_and_near_dups(self, docs_df):
         sigs = dedup.minhash_signatures(docs_df, num_perm=16)
         pairs = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=8).toPandas()
