@@ -336,6 +336,13 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs)
 
 
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused one-pass featurizer (the 100-TB scale path): every token-
+    derived feature from a single Arrow tokenize per batch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.text_features(docs)
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, ANN_QUERY_VEC, ANN_K)
@@ -382,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "text_features": _q_text_features,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
@@ -421,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": text.quality_score_sql("documents"),
         "langid": text.language_id_sql("documents"),
         "fingerprint": text.fingerprint_sql("documents"),
+        "text_features": text.text_features_sql("documents"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
         "ann_lsh": similarity.ann_topk_catalyst_sql(
             "embeddings", ANN_QUERY_VEC, ANN_K, bits=6

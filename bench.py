@@ -38,7 +38,7 @@ def main():
     from koncorde_spark.fulltext.brute import bm25_brute_topk
     from koncorde_spark.fulltext.indexer import IndexConfig, build_index
     from koncorde_spark.fulltext.query import Bm25Index
-    from koncorde_spark.pipeline import dedup, similarity
+    from koncorde_spark.pipeline import dedup, similarity, text
     from koncorde_spark.sources import synthetic_corpus_df
 
     queries: dict[str, float] = {}
@@ -162,6 +162,18 @@ def main():
         .collect(),
     )
     n_corpus = corpus.count()
+    timed(
+        "text_features",
+        lambda: text.text_features(corpus, "content", "path")
+        .agg(
+            F.sum("n_tokens"),
+            F.sum("n_unique_tokens"),
+            F.expr("bit_xor(fp_int)"),
+            F.sum(F.length("pred_lang")),
+        )
+        .collect(),
+    )
+    extra["text_features_docs_per_sec"] = round(n_corpus / queries["text_features"], 1)
     timed(
         "simhash",
         lambda: dedup.simhash(corpus, "content", "path")

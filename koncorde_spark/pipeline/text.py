@@ -185,3 +185,170 @@ def fingerprint_sql(table: str, text_col: str = "text", id_col: str = "doc_id") 
            ('0x' || substr(md5({norm}), 1, 15))::BIGINT AS fp_int
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Fused one-pass featurizer (scale path)
+# ---------------------------------------------------------------------------
+
+FEATURE_LANGS = sorted(STOPWORDS)
+
+_FEATURES_SCHEMA_TAIL = (
+    "n_tokens long, n_unique_tokens long, n_chars long, n_ws_tokens long, "
+    "punct_ratio double, stopword_ratio double, lexical_diversity double, "
+    + ", ".join(f"score_{g} long" for g in FEATURE_LANGS)
+    + ", pred_lang string, fp_md5 string, fp_int long"
+)
+
+
+def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
+    """round(x, 6) with HALF_UP ties — what Spark's round() and DuckDB's
+    round() both do for doubles (numpy's own round is half-even)."""
+    import numpy as np
+
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _text_features_batch(texts, id_vals):
+    """All token-derived features from ONE Arrow tokenize of the batch.
+
+    Everything is numpy/Arrow over whole columns; md5 fingerprints are the
+    only per-row C calls (hashlib over the normalized bytes — the same
+    per-row digest cost as the content-sha lineage stage). Null text is
+    treated as '' (documented contract; the SQL twin coalesces)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..fulltext.tokenizer import tokenize_arrow
+
+    n = len(texts)
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+    low = pc.utf8_lower(arr)
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ws = (
+        pc.list_value_length(pc.split_pattern_regex(arr, r"\s+"))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_punct = (
+        pc.count_substring_regex(arr, r"[^a-zA-Z0-9_\s]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    codes, rows, vocab, dls = tokenize_arrow(texts)
+    V = max(len(vocab), 1)
+    if len(codes):
+        uk = np.unique(rows * V + codes)
+        n_unique = np.bincount(uk // V, minlength=n).astype(np.int64)
+    else:
+        n_unique = np.zeros(n, dtype=np.int64)
+
+    scores = {}
+    for g in FEATURE_LANGS:
+        mask = np.isin(vocab, np.asarray(STOPWORDS[g], dtype=object)).astype(np.float64)
+        if len(codes):
+            scores[g] = np.bincount(rows, weights=mask[codes], minlength=n).astype(
+                np.int64
+            )
+        else:
+            scores[g] = np.zeros(n, dtype=np.int64)
+    smat = np.stack([scores[g] for g in FEATURE_LANGS], axis=1)
+    best = smat.max(axis=1)
+    # first (alphabetical) language attaining the max; 'und' when best <= 0
+    pred = np.array(FEATURE_LANGS, dtype=object)[smat.argmax(axis=1)]
+    pred[best <= 0] = "und"
+
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(low, r"\s+", " "))
+    fp_md5 = np.empty(n, dtype=object)
+    fp_int = np.empty(n, dtype=np.int64)
+    for i, s in enumerate(norm.to_pylist()):
+        h = hashlib.md5(s.encode()).hexdigest()
+        fp_md5[i] = h
+        fp_int[i] = int(h[:15], 16)
+
+    tok_den = np.maximum(dls, 1)
+    return pd.DataFrame(
+        {
+            "__id": id_vals,
+            "n_tokens": dls,
+            "n_unique_tokens": n_unique,
+            "n_chars": n_chars,
+            "n_ws_tokens": n_ws,
+            "punct_ratio": _round6_half_up(n_punct / np.maximum(n_chars, 1)),
+            "stopword_ratio": _round6_half_up(scores["en"] / tok_den),
+            "lexical_diversity": _round6_half_up(n_unique / tok_den),
+            **{f"score_{g}": scores[g] for g in FEATURE_LANGS},
+            "pred_lang": pred,
+            "fp_md5": fp_md5,
+            "fp_int": fp_int,
+        }
+    )
+
+
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass fused featurizer: token stats + quality ratios + language
+    scores + fingerprints from a SINGLE tokenize of each Arrow batch.
+
+    The individual Catalyst ops (token_stats / quality_score / language_id
+    / fingerprint) each re-tokenize with Spark's regex ``split`` — correct,
+    but java.util.regex plus per-token UTF8String churn makes tokenization
+    ~100× the cost of the cached scan (measured 25.6 s vs 0.22 s for 20k
+    code docs at local[32]). This narrow ``mapInPandas`` path tokenizes
+    once with Arrow's re2 and computes every feature column from that one
+    pass — the shape a 100-TB featurization job needs (zero shuffle, one
+    scan, one tokenize). Feature semantics are identical to the Catalyst
+    ops (parity-tested) except that null text is treated as '' here."""
+    schema = f"{id_col} {dict(df.dtypes)[id_col]}, " + _FEATURES_SCHEMA_TAIL
+
+    def fn(batches):
+        for pdf in batches:
+            out = _text_features_batch(pdf[text_col], pdf[id_col].to_numpy())
+            yield out.rename(columns={"__id": id_col})
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def text_features_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of the fused featurizer (null text coalesced to '')."""
+    x = f"coalesce({text_col}, '')"
+    t = tokens_sql(x)
+    langs = FEATURE_LANGS
+    score_exprs = []
+    for g in langs:
+        stop = ", ".join(f"'{w}'" for w in STOPWORDS[g])
+        score_exprs.append(
+            f"len(list_filter(t, tok -> list_contains([{stop}], tok)))::BIGINT AS score_{g}"
+        )
+    best = "greatest(" + ", ".join(f"score_{g}" for g in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for g in langs:
+        case += f"WHEN score_{g} = {best} THEN '{g}' "
+    case += "END"
+    norm = "trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH toks AS (SELECT {id_col}, {x} AS x, {t} AS t FROM {table}),
+    s AS (
+      SELECT {id_col}, x, t,
+             len(t)::BIGINT AS n_tokens,
+             len(list_distinct(t))::BIGINT AS n_unique_tokens,
+             length(x)::BIGINT AS n_chars,
+             len(string_split_regex(x, '\\s+'))::BIGINT AS n_ws_tokens,
+             length(regexp_replace(x, '[a-zA-Z0-9_\\s]', '', 'g'))::BIGINT AS n_punct,
+             {', '.join(score_exprs)}
+      FROM toks
+    )
+    SELECT {id_col}, n_tokens, n_unique_tokens, n_chars, n_ws_tokens,
+           round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(score_en / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round(n_unique_tokens / greatest(n_tokens, 1), 6) AS lexical_diversity,
+           {', '.join('score_' + g for g in langs)},
+           {case} AS pred_lang,
+           md5({norm}) AS fp_md5,
+           ('0x' || substr(md5({norm}), 1, 15))::BIGINT AS fp_int
+    FROM s
+    """

@@ -224,6 +224,35 @@ class TestText:
         out = text.fingerprint(df).toPandas()
         assert out.loc[0, "fp_md5"] == out.loc[1, "fp_md5"]
 
+    def test_fused_features_match_catalyst_ops(self, docs_df):
+        """The one-pass Arrow featurizer must agree column-for-column with
+        the four individual Catalyst ops (which are themselves DuckDB-
+        oracled) on non-null text."""
+        fused = text.text_features(docs_df).toPandas().set_index("doc_id").sort_index()
+        ts = text.token_stats(docs_df).toPandas().set_index("doc_id").sort_index()
+        qs = text.quality_score(docs_df).toPandas().set_index("doc_id").sort_index()
+        li = text.language_id(docs_df).toPandas().set_index("doc_id").sort_index()
+        fp = text.fingerprint(docs_df).toPandas().set_index("doc_id").sort_index()
+        for col in ["n_tokens", "n_unique_tokens", "n_chars", "n_ws_tokens"]:
+            assert fused[col].tolist() == ts[col].tolist(), col
+        for col in ["punct_ratio", "stopword_ratio", "lexical_diversity"]:
+            assert fused[col].tolist() == qs[col].tolist(), col
+        for col in [f"score_{g}" for g in text.FEATURE_LANGS] + ["pred_lang"]:
+            assert fused[col].tolist() == li[col].tolist(), col
+        for col in ["fp_md5", "fp_int"]:
+            assert fused[col].tolist() == fp[col].tolist(), col
+
+    def test_fused_features_null_text_contract(self, spark):
+        """Null text is treated as '' (documented divergence from the
+        per-op Catalyst paths, which propagate null)."""
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": [None, ""]})
+        )
+        out = text.text_features(df).toPandas().set_index("doc_id")
+        assert out.loc[0].tolist() == out.loc[1].tolist()
+        assert out.loc[0, "n_tokens"] == 0
+        assert out.loc[0, "pred_lang"] == "und"
+
 
 class TestMultimodal:
     def test_feature_extract_deterministic(self, spark):
