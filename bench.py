@@ -52,6 +52,17 @@ def main():
         return out
 
     # --- percolation over driver testdata --------------------------------
+    # Warm the Python workers first (fork + numpy/pandas import is ~1 s per
+    # worker, a one-time per-executor cost that is zero on a long-lived
+    # cluster — same exclusion the scaling protocol documents). Without
+    # this the first mapInPandas query absorbs ~30 s of cold-start at
+    # local[32] and the per-query numbers are not comparable.
+    import pandas as _pd
+
+    spark.range(cpus * 4).repartition(cpus * 2).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
     n_events = timed(
         "perc_events", lambda: E._q_perc_events(spark, sf_dir).count()
     )

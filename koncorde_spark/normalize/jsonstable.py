@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import hmac
 import math
+import re
 from typing import Any
 
 DEFAULT_SEED = bytes(range(32))  # fixed test seed (bytes 0x00..0x1f)
@@ -72,30 +73,32 @@ def stable_stringify(obj: Any) -> str:
     return "".join(out)
 
 
+_ESCAPE_RE = re.compile('["\\\\\\x00-\\x1f]')
+_ESCAPE_MAP = {
+    '"': '\\"',
+    "\\": "\\\\",
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\b": "\\b",
+    "\f": "\\f",
+}
+
+
+def _escape_match(m: "re.Match[str]") -> str:
+    ch = m.group(0)
+    mapped = _ESCAPE_MAP.get(ch)
+    return mapped if mapped is not None else f"\\u{ord(ch):04x}"
+
+
 def _escape(s: str) -> str:
     # Minimal JSON string escaping identical to JSON.stringify for the
-    # characters that can appear in filter values.
-    buf = []
-    for ch in s:
-        if ch == '"':
-            buf.append('\\"')
-        elif ch == "\\":
-            buf.append("\\\\")
-        elif ch == "\n":
-            buf.append("\\n")
-        elif ch == "\r":
-            buf.append("\\r")
-        elif ch == "\t":
-            buf.append("\\t")
-        elif ch == "\b":
-            buf.append("\\b")
-        elif ch == "\f":
-            buf.append("\\f")
-        elif ord(ch) < 0x20:
-            buf.append(f"\\u{ord(ch):04x}")
-        else:
-            buf.append(ch)
-    return "".join(buf)
+    # characters that can appear in filter values. Escape-free strings
+    # (the overwhelmingly common case) return unchanged without a
+    # per-character Python loop.
+    if _ESCAPE_RE.search(s) is None:
+        return s
+    return _ESCAPE_RE.sub(_escape_match, s)
 
 
 def _write(obj: Any, out: list[str]) -> None:
