@@ -343,6 +343,14 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_features(docs)
 
 
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket (frozen literal
+    hyperplanes, cross-engine bit-identical) -> capped bucket join ->
+    exact cosine >= threshold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(emb)
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, ANN_QUERY_VEC, ANN_K)
@@ -390,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "text_features": _q_text_features,
+        "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
@@ -430,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": text.language_id_sql("documents"),
         "fingerprint": text.fingerprint_sql("documents"),
         "text_features": text.text_features_sql("documents"),
+        "emb_near_dup": similarity.embedding_near_dup_pairs_sql("embeddings"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
         "ann_lsh": similarity.ann_topk_catalyst_sql(
             "embeddings", ANN_QUERY_VEC, ANN_K, bits=6

@@ -233,3 +233,184 @@ def ann_topk_catalyst_sql(
     ORDER BY cosine DESC, {id_col} ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _bucket_code_expr(planes: list[list[float]], vec_col: str):
+    """Catalyst sign-bit bucket against frozen literal hyperplanes
+    (sequential fold — same summation order as DuckDB's list_aggregate,
+    so buckets are bit-identical cross-engine)."""
+    code = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        code = code + F.when(_dot_expr(vec_col, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return code
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 42,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket → capped within-bucket
+    join → exact cosine ≥ threshold. The embedding-space sibling of
+    MinHash near-dedup (same bucket-join shape, same star-pattern cap for
+    degenerate buckets — a corpus with millions of identical embeddings
+    stays O(N) pairs per bucket, not O(N²)).
+
+    Buckets come from the Catalyst literal-hyperplane expression so the
+    DuckDB twin reproduces the exact pair set; candidate volume is pruned
+    ~2^bits before any cosine is computed. Returns (id_a, id_b, cosine)
+    with id_a < id_b, cosine rounded to 9 (cross-engine stable)."""
+    from pyspark.sql import Window
+
+    planes = _literal_planes(dim, bits, seed)
+    e = df.select(
+        F.col(id_col), F.col(vec_col), _bucket_code_expr(planes, vec_col).alias("bucket")
+    )
+    w = Window.partitionBy("bucket")
+    stats = e.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "mid", F.min(id_col).over(w)
+    )
+    small = stats.where(F.col("n") <= bucket_cap)
+    pairs = (
+        small.alias("l")
+        .join(
+            small.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("__va"),
+            F.col(f"r.{vec_col}").alias("__vb"),
+        )
+    )
+    big = stats.where(F.col("n") > bucket_cap)
+    star = (
+        big.alias("l")
+        .join(
+            big.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") == F.col("r.mid"))
+            & (F.col(f"r.{id_col}") != F.col("r.mid")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("__va"),
+            F.col(f"r.{vec_col}").alias("__vb"),
+        )
+    )
+    both = pairs.unionByName(star)
+    dot = F.expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    cos = F.round(dot / (_norm_expr("__va") * _norm_expr("__vb")), 9)
+    return (
+        both.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    table: str,
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 42,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_cap: int = 256,
+) -> str:
+    """DuckDB twin of embedding_near_dup_pairs (same literal planes, same
+    fold order, same bucket cap + star pattern)."""
+    planes = _literal_planes(dim, bits, seed)
+
+    def dot_sql(plane: list[float]) -> str:
+        p = "[" + ", ".join(f"{x!r}::DOUBLE" for x in plane) + "]"
+        return (
+            f"list_aggregate(list_transform(range(1, len({vec_col}) + 1),"
+            f" i -> {vec_col}[i]::DOUBLE * ({p})[i]), 'sum')"
+        )
+
+    code = " + ".join(
+        f"(CASE WHEN {dot_sql(plane)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    pair_dot = (
+        "list_aggregate(list_transform(range(1, len(l.v) + 1),"
+        " i -> l.v[i]::DOUBLE * r.v[i]::DOUBLE), 'sum')"
+    )
+
+    def nrm(side: str) -> str:
+        return (
+            f"sqrt(list_aggregate(list_transform({side}.v,"
+            f" x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+        )
+
+    return f"""
+    WITH e AS (
+      SELECT {id_col}, {vec_col} AS v, ({code})::BIGINT AS bucket FROM {table}
+    ),
+    stats AS (
+      SELECT {id_col}, v, bucket,
+             count(*) OVER (PARTITION BY bucket) AS n,
+             min({id_col}) OVER (PARTITION BY bucket) AS mid
+      FROM e
+    ),
+    cand AS (
+      SELECT l.{id_col} AS id_a, r.{id_col} AS id_b, l.v AS va, r.v AS vb
+      FROM stats l JOIN stats r
+        ON l.bucket = r.bucket AND l.{id_col} < r.{id_col}
+      WHERE l.n <= {bucket_cap}
+      UNION ALL
+      SELECT l.{id_col}, r.{id_col}, l.v, r.v
+      FROM stats l JOIN stats r
+        ON l.bucket = r.bucket AND l.{id_col} = r.mid AND r.{id_col} <> r.mid
+      WHERE l.n > {bucket_cap}
+    )
+    SELECT id_a, id_b,
+           round(
+             list_aggregate(list_transform(range(1, len(va) + 1),
+               i -> va[i]::DOUBLE * vb[i]::DOUBLE), 'sum')
+             / (sqrt(list_aggregate(list_transform(va, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                * sqrt(list_aggregate(list_transform(vb, x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+             9) AS cosine
+    FROM cand
+    WHERE cosine >= {threshold!r}
+    """
+
+
+def embedding_near_dedup(
+    df: DataFrame,
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 42,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end embedding near-dedup: pairs → connected components →
+    survivors (smallest id per cluster), mirroring dedup.dedup_near."""
+    from .dedup import cluster_pairs
+
+    pairs = embedding_near_dup_pairs(
+        df, dim=dim, bits=bits, seed=seed, threshold=threshold,
+        vec_col=vec_col, id_col=id_col,
+    )
+    clusters = cluster_pairs(pairs.select("id_a", "id_b"))
+    dupes = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dupes, id_col, "anti")

@@ -274,6 +274,41 @@ class TestMultimodal:
         assert fs["media_id"].nunique() == vids
 
 
+class TestEmbeddingNearDup:
+    def test_identical_embeddings_star_capped(self, spark):
+        """A degenerate bucket of N identical embeddings must emit O(N)
+        star pairs (same 100-TB guard as MinHash LSH)."""
+        n = 600
+        pdf = pd.DataFrame({"vec_id": range(n), "embedding": [[1.0] * 8] * n})
+        df = spark.createDataFrame(pdf)
+        pairs = similarity.embedding_near_dup_pairs(
+            df, dim=8, bits=4, threshold=0.9, bucket_cap=64
+        ).toPandas()
+        assert len(pairs) == n - 1
+        assert (pairs["id_a"] == 0).all()
+        assert (pairs["cosine"] == 1.0).all()
+
+    def test_threshold_filters_pairs(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [[1.0, 0.0], [1.0, 0.01], [-1.0, 0.0]],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        pairs = similarity.embedding_near_dup_pairs(
+            df, dim=2, bits=2, threshold=0.99
+        ).toPandas()
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(0, 1)}
+
+    def test_near_dedup_survivors(self, spark):
+        n = 50
+        pdf = pd.DataFrame({"vec_id": range(n), "embedding": [[1.0] * 8] * n})
+        df = spark.createDataFrame(pdf)
+        out = similarity.embedding_near_dedup(df, dim=8, bits=4, threshold=0.9).toPandas()
+        assert out["vec_id"].tolist() == [0]
+
+
 class TestClustering:
     def test_cluster_pairs_components(self, spark):
         import pandas as pd
