@@ -193,8 +193,14 @@ def fingerprint_sql(table: str, text_col: str = "text", id_col: str = "doc_id") 
 
 FEATURE_LANGS = sorted(STOPWORDS)
 
+# BPE-ish pretokenizer pieces: letter runs / digit runs / punctuation runs
+# (re2-safe — no lookahead — so the SAME pattern runs in Arrow, Spark, and
+# DuckDB; a practical LLM-token-count estimator for budget filtering).
+BPE_PIECE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
 _FEATURES_SCHEMA_TAIL = (
     "n_tokens long, n_unique_tokens long, n_chars long, n_ws_tokens long, "
+    "n_bpe_tokens long, "
     "punct_ratio double, stopword_ratio double, lexical_diversity double, "
     + ", ".join(f"score_{g} long" for g in FEATURE_LANGS)
     + ", pred_lang string, fp_md5 string, fp_int long"
@@ -239,6 +245,11 @@ def _text_features_batch(texts, id_vals):
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
+    n_bpe = (
+        pc.count_substring_regex(arr, BPE_PIECE_PATTERN)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
 
     codes, rows, vocab, dls = tokenize_arrow(texts)
     V = max(len(vocab), 1)
@@ -279,6 +290,7 @@ def _text_features_batch(texts, id_vals):
             "n_unique_tokens": n_unique,
             "n_chars": n_chars,
             "n_ws_tokens": n_ws,
+            "n_bpe_tokens": n_bpe,
             "punct_ratio": _round6_half_up(n_punct / np.maximum(n_chars, 1)),
             "stopword_ratio": _round6_half_up(scores["en"] / tok_den),
             "lexical_diversity": _round6_half_up(n_unique / tok_den),
@@ -338,11 +350,12 @@ def text_features_sql(table: str, text_col: str = "text", id_col: str = "doc_id"
              len(list_distinct(t))::BIGINT AS n_unique_tokens,
              length(x)::BIGINT AS n_chars,
              len(string_split_regex(x, '\\s+'))::BIGINT AS n_ws_tokens,
+             len(regexp_extract_all(x, '{BPE_PIECE_PATTERN}'))::BIGINT AS n_bpe_tokens,
              length(regexp_replace(x, '[a-zA-Z0-9_\\s]', '', 'g'))::BIGINT AS n_punct,
              {', '.join(score_exprs)}
       FROM toks
     )
-    SELECT {id_col}, n_tokens, n_unique_tokens, n_chars, n_ws_tokens,
+    SELECT {id_col}, n_tokens, n_unique_tokens, n_chars, n_ws_tokens, n_bpe_tokens,
            round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
            round(score_en / greatest(n_tokens, 1), 6) AS stopword_ratio,
            round(n_unique_tokens / greatest(n_tokens, 1), 6) AS lexical_diversity,

@@ -57,3 +57,43 @@ def test_brute_bm25_prunes_before_explode(spark):
     df = bm25_brute_topk(docs, ["spark", "join"], 5, materialize=False)
     plan = executed_plan(df)
     assert "Generate explode" in plan and "__qt" in plan
+
+
+@pytest.mark.spark
+def test_minhash_plan_is_narrow(spark):
+    """The Arrow minhash scale path must be scan → MapInPandas with no
+    Exchange (no explode, no groupBy, no join)."""
+    from koncorde_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(dedup.minhash_signatures(docs, num_perm=16))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+@pytest.mark.spark
+def test_text_features_plan_is_narrow(spark):
+    """The fused featurizer must be a single narrow MapInPandas over a
+    two-column projection (id + text) — no shuffle, column-pruned scan."""
+    from koncorde_spark.pipeline import text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(text.text_features(docs))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    # untouched columns (lang, source, n_chars) pruned at the parquet scan
+    assert "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+@pytest.mark.spark
+def test_emb_near_dup_plan_has_no_cartesian(spark):
+    """The embedding near-dup bucket join must be an equi-join on bucket,
+    never a cartesian/broadcast-nested-loop product."""
+    from koncorde_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = executed_plan(similarity.embedding_near_dup_pairs(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
