@@ -48,6 +48,29 @@ class Bm25Index:
         # per-shard packed doc lengths: one row per shard, cached — avoids
         # reshuffling the docs table on every query
         self.dlpack = spark.read.parquet(os.path.join(index_dir, "dlpack")).cache()
+        # term → df lookup, pulled to the driver once when the vocabulary
+        # is small enough (a dict probe replaces one Spark job per query);
+        # None = not yet decided, False = too large, stay distributed
+        self._terms_local: dict | None | bool = None
+
+    # vocabularies up to this size are cached driver-side (~tens of MB);
+    # beyond it df lookups stay distributed (the 10^12-file regime)
+    TERMS_LOCAL_MAX = 5_000_000
+
+    def _df_for(self, q_terms: list[str]) -> dict[str, int]:
+        if self._terms_local is None:
+            if self.terms.count() <= self.TERMS_LOCAL_MAX:
+                pdf = self.terms.toPandas()
+                self._terms_local = dict(
+                    zip(pdf["term"].tolist(), pdf["df"].astype(int).tolist())
+                )
+            else:
+                self._terms_local = False
+        if self._terms_local is not False:
+            tl = self._terms_local
+            return {t: tl[t] for t in q_terms if t in tl}
+        rows = self.terms.where(F.col("term").isin(q_terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
 
     def topk(self, query: str, k: int = 10) -> DataFrame:
         """Top-k (doc_id, score) for a free-text query, rank-deterministic."""
@@ -59,9 +82,10 @@ class Bm25Index:
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
         k1, b, block_size = meta["k1"], meta["b"], meta["block_size"]
 
-        # global df per query term (tiny collect — q_terms ≤ a few dozen)
-        df_rows = self.terms.where(F.col("term").isin(q_terms)).collect()
-        idf_map = {r["term"]: float(bm25_idf(n_docs, r["df"])) for r in df_rows}
+        # global df per query term (driver-side dict probe for small
+        # vocabularies; a tiny distributed lookup otherwise)
+        dfs = self._df_for(q_terms)
+        idf_map = {t: float(bm25_idf(n_docs, df)) for t, df in dfs.items()}
         if not idf_map:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
