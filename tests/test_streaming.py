@@ -107,3 +107,40 @@ def test_windowed_match_counts(spark, tmp_path):
         for r in spark.sql("select * from perc_win_test").collect()
     }
     assert got == expected and len(got) >= 2
+
+
+@pytest.mark.spark
+def test_streaming_text_features(spark, tmp_path):
+    """The fused featurizer (narrow mapInPandas) runs unchanged on a
+    stream — per-row features are stateless, so streaming output equals
+    the batch run row-for-row."""
+    from koncorde_spark.pipeline import text
+
+    src = str(tmp_path / "fsrc")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"def fn_{i}(x): return x + {i}  # doc {i}" for i in range(40)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    expected = {
+        tuple(r) for r in text.text_features(batch_df).toPandas().itertuples(index=False)
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = text.text_features(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("feat_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from feat_stream_test").toPandas().itertuples(index=False)
+    }
+    assert got == expected and len(got) == 40
