@@ -142,7 +142,13 @@ def condition_to_sql(cond: dict, resolve=_q) -> str:
         base = resolve(field)
         duck_idx = idx + 1 if idx >= 0 else idx  # DuckDB lists are 1-based
         elem = f"{base}[{duck_idx}]"
-        return _select_child_sql(spec["query"], elem)
+        # The matcher only probes elements of an actual in-range list —
+        # DuckDB returns NULL for NULL lists and out-of-bounds indexes,
+        # which would make a null-valued child (elem IS NULL) match rows
+        # the engine skips. Guard list presence + index range explicitly.
+        in_range = idx + 1 if idx >= 0 else -idx
+        guard = f"{base} IS NOT NULL AND len({base}) >= {in_range}"
+        return f"({guard} AND {_select_child_sql(spec['query'], elem)})"
 
     raise NotSqlExpressible(f"keyword {keyword!r}")
 

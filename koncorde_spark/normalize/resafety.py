@@ -129,11 +129,18 @@ def _walk(subpattern, repeat_depth: int) -> None:
 def check_re2_safe(pattern: str, py_flags: int = 0) -> None:
     """Raise UnsafePatternError if the pattern violates the re2 contract.
 
-    No-op when the real re2 module is available (it enforces its own
-    constraints at compile time).
+    The AST analysis ALWAYS runs: matching is executed with Python ``re``
+    in every executor (compiled.py), never with a re2 runtime, so the
+    registration-time guard is the only thing standing between a hostile
+    pattern and catastrophic backtracking — even on hosts where the re2
+    wheel happens to be importable. When the wheel IS present we
+    additionally ask real re2 to compile, for exact rejection parity.
     """
-    if HAVE_RE2:
-        return
+    if HAVE_RE2:  # pragma: no cover - wheel not present in this sandbox
+        try:
+            _re2.compile(pattern)
+        except _re2.error as err:
+            raise UnsafePatternError(f"re2 rejects this pattern: {err}") from None
     try:
         tree = _sre_parse.parse(pattern, py_flags)
     except re.error:
@@ -141,14 +148,3 @@ def check_re2_safe(pattern: str, py_flags: int = 0) -> None:
     _walk(tree, 0)
 
 
-def compile_re2(pattern: str, py_flags: int = 0):
-    """Compile under the re2 contract: real re2 when available, else a
-    safety-checked `re` pattern (single-level quantifiers are linear-safe
-    in practice for `re`)."""
-    if HAVE_RE2:  # pragma: no cover - wheel not present in this sandbox
-        opts = _re2.Options()
-        if py_flags & re.IGNORECASE:
-            opts.case_sensitive = False
-        return _re2.compile(pattern, opts)
-    check_re2_safe(pattern, py_flags)
-    return re.compile(pattern, py_flags)

@@ -459,11 +459,13 @@ def near_clusters_sql(
 def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
-    Min-label propagation: every node repeatedly adopts the smallest id
-    reachable over the (undirected) pair edges; converges in O(component
-    diameter) joins. Near-dup components are tiny and shallow in practice,
-    so this beats bringing in a graph library; each iteration is a
-    broadcast-friendly shuffle join on id.
+    Min-label propagation WITH pointer jumping: every node repeatedly
+    adopts the smallest id among its neighbors' labels, its own label,
+    and its label's label (shortcutting) — O(log diameter) rounds, so
+    ``max_iters=20`` covers components of diameter ~2^20. Each iteration
+    ends in ``localCheckpoint()``: an iterative self-referencing plan
+    otherwise grows exponentially (labels appears 4× per round) and
+    Catalyst analysis time explodes after ~6 rounds.
 
     ``pairs``: (id_a, id_b). Returns every id that appears in some pair
     with its cluster representative (smallest id in the component).
@@ -478,19 +480,24 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .select(F.col("src").alias("id"), F.least("label", "src").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
-        # candidate label: min over neighbors' labels and own
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
             .select(edges["src"].alias("id"), F.col("label"))
         )
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.id"))
+            .select(F.col("l1.id").alias("id"), F.col("l2.label").alias("label"))
+        )
         new_labels = (
-            neigh.union(labels)
+            neigh.union(labels).union(jump)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -499,11 +506,19 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Returning partial labels would silently split real clusters (a
+        # chain of near-dups longer than max_iters) AND diverge from the
+        # recursive-CTE oracle, which computes the exact fixpoint.
+        raise RuntimeError(
+            f"cluster_pairs did not converge within {max_iters} iterations "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

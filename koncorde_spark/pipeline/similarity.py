@@ -182,9 +182,7 @@ def ann_topk_catalyst(
     dim = len(query_vec)
     planes = _literal_planes(dim, bits, seed)
     probes = _probes_for(query_vec, planes, multiprobe_hamming)
-    code = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        code = code + F.when(_dot_expr(vec_col, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    code = _bucket_code_expr(planes, vec_col)
     cand = df.select(F.col(id_col), F.col(vec_col), code.alias("bucket")).where(
         F.col("bucket").isin(probes)
     )
@@ -205,18 +203,7 @@ def ann_topk_catalyst_sql(
     dim = len(query_vec)
     planes = _literal_planes(dim, bits, seed)
     probes = _probes_for(query_vec, planes, multiprobe_hamming)
-
-    def dot_sql(plane: list[float]) -> str:
-        p = "[" + ", ".join(f"{x!r}::DOUBLE" for x in plane) + "]"
-        return (
-            f"list_aggregate(list_transform(range(1, len({vec_col}) + 1),"
-            f" i -> {vec_col}[i]::DOUBLE * ({p})[i]), 'sum')"
-        )
-
-    code = " + ".join(
-        f"(CASE WHEN {dot_sql(plane)} > 0 THEN {1 << b} ELSE 0 END)"
-        for b, plane in enumerate(planes)
-    )
+    code = _bucket_code_sql(planes, vec_col)
     q = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     dot = (
@@ -248,6 +235,22 @@ def _bucket_code_expr(planes: list[list[float]], vec_col: str):
     for b, plane in enumerate(planes):
         code = code + F.when(_dot_expr(vec_col, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return code
+
+
+def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
+    p = "[" + ", ".join(f"{x!r}::DOUBLE" for x in plane) + "]"
+    return (
+        f"list_aggregate(list_transform(range(1, len({vec_col}) + 1),"
+        f" i -> {vec_col}[i]::DOUBLE * ({p})[i]), 'sum')"
+    )
+
+
+def _bucket_code_sql(planes: list[list[float]], vec_col: str) -> str:
+    """DuckDB twin of ``_bucket_code_expr`` (same literals, same fold)."""
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec_col, plane)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
 
 
 def embedding_near_dup_pairs(
@@ -336,29 +339,7 @@ def embedding_near_dup_pairs_sql(
     """DuckDB twin of embedding_near_dup_pairs (same literal planes, same
     fold order, same bucket cap + star pattern)."""
     planes = _literal_planes(dim, bits, seed)
-
-    def dot_sql(plane: list[float]) -> str:
-        p = "[" + ", ".join(f"{x!r}::DOUBLE" for x in plane) + "]"
-        return (
-            f"list_aggregate(list_transform(range(1, len({vec_col}) + 1),"
-            f" i -> {vec_col}[i]::DOUBLE * ({p})[i]), 'sum')"
-        )
-
-    code = " + ".join(
-        f"(CASE WHEN {dot_sql(plane)} > 0 THEN {1 << b} ELSE 0 END)"
-        for b, plane in enumerate(planes)
-    )
-    pair_dot = (
-        "list_aggregate(list_transform(range(1, len(l.v) + 1),"
-        " i -> l.v[i]::DOUBLE * r.v[i]::DOUBLE), 'sum')"
-    )
-
-    def nrm(side: str) -> str:
-        return (
-            f"sqrt(list_aggregate(list_transform({side}.v,"
-            f" x -> x::DOUBLE * x::DOUBLE), 'sum'))"
-        )
-
+    code = _bucket_code_sql(planes, vec_col)
     return f"""
     WITH e AS (
       SELECT {id_col}, {vec_col} AS v, ({code})::BIGINT AS bucket FROM {table}

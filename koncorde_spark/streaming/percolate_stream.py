@@ -62,14 +62,19 @@ def windowed_match_counts(
     if not stream_df.isStreaming:
         raise ValueError("windowed_match_counts expects a streaming DataFrame")
     pairs = percolate(
-        stream_df.withWatermark(time_col, watermark),
+        stream_df,
         index,
         id_col=id_col,
         result_col=result_col,
         keep_cols=[time_col],
     )
+    # The watermark must be applied AFTER percolate: mapInPandas creates
+    # fresh output attributes, so a watermark set on the input stream is
+    # dropped and the aggregation would reject append mode / never evict
+    # state. keep_cols carries the event-time column through the matcher.
     return (
-        pairs.groupBy(F.window(F.col(time_col), window), F.col(result_col))
+        pairs.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window), F.col(result_col))
         .count()
         .select(
             F.col("window.start").alias("window_start"),

@@ -321,6 +321,21 @@ class TestClustering:
         out = {r["id"]: r["cluster_id"] for r in dd.cluster_pairs(pairs).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
+    def test_long_chain_converges_via_pointer_jumping(self, spark):
+        """A 60-edge path graph needs 60 min-label rounds without
+        shortcutting; pointer jumping must converge it within the default
+        max_iters=20 (log-diameter) instead of raising."""
+        import pandas as pd
+        from koncorde_spark.pipeline import dedup as dd
+
+        n = 61
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+        )
+        out = dd.cluster_pairs(pairs).toPandas()
+        assert (out["cluster_id"] == 0).all()
+        assert len(out) == n
+
     def test_dedup_near_end_to_end(self, spark, docs_df):
         from koncorde_spark.pipeline import dedup as dd
 

@@ -148,3 +148,55 @@ class TestBenchImportable:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)  # must not execute main() on import
         assert callable(mod.main)
+
+
+class TestSelectNullOracleParity:
+    """select with an equals-null child: the engine skips NULL / non-list /
+    out-of-range rows, but DuckDB's list indexing returns NULL for those,
+    so an unguarded `elem IS NULL` oracle would over-match (review r2)."""
+
+    def test_oracle_guards_null_and_short_lists(self):
+        import duckdb
+        import pandas as pd
+
+        from koncorde_spark.engine.to_sql import dnf_to_sql
+
+        k = Koncorde()
+        fid = k.register({"select": {"field": "tags", "index": 0, "query": {"equals": {"value": None}}}})
+
+        rows = [
+            {"doc_id": 0, "tags": None},          # NULL list: no match
+            {"doc_id": 1, "tags": []},            # out of range: no match
+            {"doc_id": 2, "tags": [None, "x"]},   # in-range null: match
+            {"doc_id": 3, "tags": ["a"]},         # in-range non-null: no match
+        ]
+        engine_hits = {
+            r["doc_id"] for r, fids in zip(rows, k.test_many(rows)) if fid in fids
+        }
+        assert engine_hits == {2}
+
+        sql_where = dnf_to_sql(
+            [[{"select": {"field": "tags", "index": 0, "query": {"equals": {"value": None}}}, "not": False}]]
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"doc_id": [0, 1, 2, 3], "tags": [None, [], [None, "x"], ["a"]]}))
+        oracle_hits = set(con.sql(f"SELECT doc_id FROM t WHERE {sql_where}").df()["doc_id"])
+        assert oracle_hits == engine_hits
+
+    def test_negative_index_guarded(self):
+        import duckdb
+        import pandas as pd
+
+        from koncorde_spark.engine.to_sql import dnf_to_sql
+
+        sql_where = dnf_to_sql(
+            [[{"select": {"field": "tags", "index": -2, "query": {"equals": {"value": "x"}}}, "not": False}]]
+        )
+        con = duckdb.connect()
+        con.register(
+            "t",
+            pd.DataFrame({"doc_id": [0, 1, 2], "tags": [["x"], ["x", "y"], None]}),
+        )
+        got = set(con.sql(f"SELECT doc_id FROM t WHERE {sql_where}").df()["doc_id"])
+        # only doc 1 has >= 2 elements with tags[-2] == 'x'
+        assert got == {1}

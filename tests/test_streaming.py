@@ -144,3 +144,48 @@ def test_streaming_text_features(spark, tmp_path):
         for r in spark.sql("select * from feat_stream_test").toPandas().itertuples(index=False)
     }
     assert got == expected and len(got) == 40
+
+
+@pytest.mark.spark
+def test_windowed_match_counts_append_mode(spark, tmp_path):
+    """Append mode requires the watermark to SURVIVE percolate's
+    mapInPandas (fresh output attributes drop input watermarks) — the
+    query must at least start and finalize old windows."""
+    import datetime
+
+    from koncorde_spark.streaming import windowed_match_counts
+
+    src = str(tmp_path / "awsrc")
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "kind": ["a"] * 60,
+            # 1 event/minute for an hour: with a 10-minute watermark the
+            # early windows are final and must be emitted in append mode
+            "ts": [base + datetime.timedelta(minutes=i) for i in range(60)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    k = Koncorde()
+    k.register({"equals": {"kind": "a"}})
+    ci = k.compiled()
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = windowed_match_counts(
+        stream, ci, time_col="ts", window="5 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_win_append")
+        .outputMode("append")  # throws at start() without a watermark
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from perc_win_append").collect()
+    # windows fully below max(ts) - 10min are finalized: 60min of events,
+    # 5-min windows -> at least the first ~9 windows emitted
+    assert len(got) >= 5
+    assert all(int(r["count"]) == 5 for r in got)
