@@ -119,6 +119,15 @@ SPECIAL_FILTERS = [
     {"not": {"equals": {"value_n": None}}},
     {"regexp": {"event_type": {"value": "^CL", "flags": "i"}}},
     {"not": {"regexp": {"event_type": {"value": "^ERR", "flags": "i"}}}},
+    # two negative conditions of one keyword on ONE field in one subfilter:
+    # the countdown needs one hit per condition, not one per deduplicated
+    # blanket (review r2 finding — silently never matched before the fix)
+    {"and": [{"not": {"equals": {"event_type": "click"}}},
+             {"not": {"equals": {"event_type": "error"}}}]},
+    {"and": [{"not": {"range": {"value": {"gte": 0, "lt": 10}}}},
+             {"not": {"range": {"value": {"gte": 90, "lt": 100}}}}]},
+    {"and": [{"not": {"regexp": {"event_type": "^cl"}}},
+             {"not": {"regexp": {"event_type": "or$"}}}]},
 ]
 
 BM25_QUERY_TERMS = ["spark", "join", "merge"]

@@ -130,7 +130,7 @@ def compile_index(
         elif kw == "notequals":
             field = next(iter(spec))
             _merge_vmap(ci.notequals.setdefault(field, {}), vkey(spec[field]), sfs)
-            ci.notequals_all[field] = _union(ci.notequals_all.get(field), sfs)
+            ci.notequals_all[field] = _concat(ci.notequals_all.get(field), sfs)
             ci.fields_needed.add(field)
         elif kw == "exists":
             ne: NormalizedExists = spec
@@ -143,7 +143,7 @@ def compile_index(
             ne = spec
             if ne.array:
                 _merge_vmap(ci.notexists_values.setdefault(ne.path, {}), vkey(ne.value), sfs)
-                ci.notexists_values_all[ne.path] = _union(
+                ci.notexists_values_all[ne.path] = _concat(
                     ci.notexists_values_all.get(ne.path), sfs
                 )
             else:
@@ -163,7 +163,7 @@ def compile_index(
                 acc.append((-np.inf, low, False, not lo_strict, sfs))
             if high != np.inf:
                 acc.append((high, np.inf, not hi_strict, False, sfs))
-            ci.notrange_all[field] = _union(ci.notrange_all.get(field), sfs)
+            ci.notrange_all[field] = _concat(ci.notrange_all.get(field), sfs)
             ci.fields_needed.add(field)
         elif kw == "regexp":
             field = next(iter(spec))
@@ -176,7 +176,7 @@ def compile_index(
             notregexp_acc.setdefault(field, []).append(
                 ((spec[field]["value"], spec[field].get("flags")), sfs)
             )
-            ci.notregexp_all[field] = _union(ci.notregexp_all.get(field), sfs)
+            ci.notregexp_all[field] = _concat(ci.notregexp_all.get(field), sfs)
             ci.fields_needed.add(field)
         elif kw in ("geospatial", "notgeospatial"):
             shape_kw = next(iter(spec))
@@ -250,7 +250,7 @@ def compile_index(
     for field, items in notgeo_acc.items():
         gs = GeoSet(shapes=[sh for sh, _ in items], sf_lists=[s for _, s in items])
         gs.build_cells()
-        gs.all_sfs = _union(None, np.concatenate([s for _, s in items]))
+        gs.all_sfs = np.concatenate([s for _, s in items]).astype(np.int32)
         ci.notgeo[field] = gs
 
     return ci
@@ -264,6 +264,19 @@ def _union(existing: np.ndarray | None, sfs: np.ndarray) -> np.ndarray:
     if existing is None or len(existing) == 0:
         return np.unique(sfs).astype(np.int32)
     return np.union1d(existing, sfs).astype(np.int32)
+
+
+def _concat(existing: np.ndarray | None, sfs: np.ndarray) -> np.ndarray:
+    """MULTISET accumulation for the negative-keyword blanket arrays.
+
+    The countdown in match_batch requires one hit per CONDITION, so a
+    subfilter holding two notequals/notrange/... conditions on the same
+    field must receive two hits from that field's blanket emit — a
+    deduplicated union would under-count and the subfilter could never
+    match (review r2 finding #1)."""
+    if existing is None or len(existing) == 0:
+        return sfs.astype(np.int32)
+    return np.concatenate([existing, sfs]).astype(np.int32)
 
 
 def _bounds(spec: dict) -> tuple[float, float, bool, bool]:

@@ -443,11 +443,17 @@ class CompiledIndex:
         """
         if s is None:
             return
+        for _key, rows, sfs in self._scalar_eq_groups(s, cond_map):
+            emit(np.repeat(rows, len(sfs)), np.tile(sfs, len(rows)))
+
+    def _scalar_eq_groups(self, s: pd.Series, cond_map: dict[tuple, np.ndarray]):
+        """Yield (value_key, rows, sfs) per condition whose value occurs in
+        the column (rows = absolute row indices with that exact value;
+        the null condition yields the NA rows)."""
         null_sfs = cond_map.get(("null", None))
         isna = s.isna().to_numpy()
         if null_sfs is not None and isna.any():
-            rows = np.nonzero(isna)[0]
-            emit(np.repeat(rows, len(null_sfs)), np.tile(null_sfs, len(rows)))
+            yield ("null", None), np.nonzero(isna)[0], null_sfs
         nn = np.nonzero(~isna)[0]
         if len(nn) == 0:
             return
@@ -465,86 +471,84 @@ class CompiledIndex:
                 dtype=bool, count=len(vals),
             )
             if bmask.any() and not bmask.all():
-                self._factorized_hits(nn[bmask], sub[bmask], cond_map, emit)
-                self._factorized_hits(nn[~bmask], sub[~bmask], cond_map, emit)
+                yield from self._factorized_groups(nn[bmask], sub[bmask], cond_map)
+                yield from self._factorized_groups(nn[~bmask], sub[~bmask], cond_map)
                 return
-        self._factorized_hits(nn, sub, cond_map, emit)
+        yield from self._factorized_groups(nn, sub, cond_map)
 
-    def _factorized_hits(self, nn, sub, cond_map, emit):
+    def _factorized_groups(self, nn, sub, cond_map):
         try:
             codes, uniques = pd.factorize(sub)
         except TypeError:
             # unhashable values (lists/structs) → typed per-row fallback
             for off, v in zip(nn, sub):
                 try:
-                    sfs = cond_map.get(vkey(_coerce_np(v)))
+                    key = vkey(_coerce_np(v))
+                    sfs = cond_map.get(key)
                 except TypeError:
                     continue
                 if sfs is not None:
-                    emit(np.full(len(sfs), off, dtype=np.int64), sfs)
+                    yield key, np.asarray([off], dtype=np.int64), sfs
             return
         hits = []
         for ui, u in enumerate(uniques):
             try:
-                sfs = cond_map.get(vkey(_coerce_np(u)))
+                key = vkey(_coerce_np(u))
+                sfs = cond_map.get(key)
             except TypeError:
                 continue
             if sfs is not None:
-                hits.append((ui, sfs))
+                hits.append((ui, key, sfs))
         if not hits:
             return
         order = np.argsort(codes, kind="stable")
         sorted_codes = codes[order]
-        for ui, sfs in hits:
+        for ui, key, sfs in hits:
             lo = np.searchsorted(sorted_codes, ui, side="left")
             hi = np.searchsorted(sorted_codes, ui, side="right")
-            rr = nn[order[lo:hi]]
-            emit(np.repeat(rr, len(sfs)), np.tile(sfs, len(rr)))
+            yield key, nn[order[lo:hi]], sfs
 
     def _match_equals(self, batch, emit, emit_x):
         for field, cond_map in self.equals.items():
             self._series_scalar_hits(batch.col(field), cond_map, emit)
-        for field, all_sfs in self.notequals_all.items():
+        for field, cond_map in self.notequals.items():
             s = batch.col(field)
-            cond_map = self.notequals.get(field, {})
+            # every condition gets its OWN emit (the countdown needs one
+            # hit per condition — a deduplicated union blanket would make
+            # a subfilter with two notequals on one field never match)
+            null_key = ("null", None)
+            nonnull_multi = [sfs for k2, sfs in cond_map.items() if k2 != null_key]
+            na_sfs = (
+                np.concatenate(nonnull_multi).astype(np.int32)
+                if nonnull_multi
+                else np.empty(0, dtype=np.int32)
+            )
             if s is None:
-                emit_x(np.arange(batch.n, dtype=np.int64), all_sfs)
+                # absent column ≡ null: matches every notequals except
+                # the notequals-null condition itself (matchNotEquals:
+                # document[key] !== null → no match; to_sql: IS NOT NULL)
+                emit_x(np.arange(batch.n, dtype=np.int64), na_sfs)
                 continue
             isna = s.isna().to_numpy()
-            rows_na = np.nonzero(isna)[0]
-            # missing/null field matches every notequals EXCEPT the
-            # notequals-null condition itself (reference matchNotEquals:
-            # document[key] !== null → no match; to_sql emits IS NOT NULL)
-            null_sfs = cond_map.get(("null", None))
-            na_sfs = (
-                np.setdiff1d(all_sfs, null_sfs) if null_sfs is not None else all_sfs
-            )
-            emit_x(rows_na, na_sfs)
-            # present rows: (nn × all_sfs) MINUS strict-equal hits
+            emit_x(np.nonzero(isna)[0], na_sfs)
             nn = np.nonzero(~isna)[0]
             if len(nn) == 0:
                 continue
-            neg_hits_r: list[np.ndarray] = []
-            neg_hits_s: list[np.ndarray] = []
-
-            def nemit(r, sfs):
-                if len(r):
-                    neg_hits_r.append(np.asarray(r, dtype=np.int64))
-                    neg_hits_s.append(np.asarray(sfs, dtype=np.int32))
-
-            self._series_scalar_hits(s, cond_map, nemit)
-            blanket = (
-                np.repeat(nn.astype(np.int64), len(all_sfs)) * self.n_sf
-                + np.tile(all_sfs.astype(np.int64), len(nn))
-            )
-            if neg_hits_r:
-                rr = np.concatenate(neg_hits_r)
-                ss = np.concatenate(neg_hits_s).astype(np.int64)
-                eq_keys = rr * self.n_sf + ss
-                keep = np.setdiff1d(blanket, eq_keys, assume_unique=False)
-            else:
-                keep = blanket
-            emit(keep // self.n_sf, (keep % self.n_sf).astype(np.int32))
+            # per-cond equal rows (at most one cond value per row)
+            eq_map: dict[tuple, list[np.ndarray]] = {}
+            for key2, rows2, _sfs in self._scalar_eq_groups(s, cond_map):
+                eq_map.setdefault(key2, []).append(rows2)
+            for key2, sfs2 in cond_map.items():
+                if key2 == null_key:
+                    hit = nn  # present value !== null, always
+                else:
+                    eq_lists = eq_map.get(key2)
+                    if eq_lists:
+                        eq = np.concatenate(eq_lists)
+                        hit = np.setdiff1d(nn, eq, assume_unique=False)
+                    else:
+                        hit = nn
+                emit_x(hit.astype(np.int64), sfs2)
 
     def _match_exists(self, batch, emit, emit_x):
         for path, sfs in self.exists_sfs.items():

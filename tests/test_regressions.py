@@ -200,3 +200,64 @@ class TestSelectNullOracleParity:
         got = set(con.sql(f"SELECT doc_id FROM t WHERE {sql_where}").df()["doc_id"])
         # only doc 1 has >= 2 elements with tags[-2] == 'x'
         assert got == {1}
+
+
+class TestMultiNegativeConditionsOneField:
+    """A subfilter with >= 2 negative conditions of one keyword on one
+    field: the countdown requires one hit PER CONDITION, so the blanket
+    emits must be multisets, not deduplicated unions (review r2)."""
+
+    def test_two_notequals(self):
+        k = Koncorde()
+        fid = k.register(
+            {"and": [{"not": {"equals": {"a": 1}}}, {"not": {"equals": {"a": 2}}}]}
+        )
+        out = k.test_many([{"a": 3}, {"a": 1}, {"a": 2}, {}, {"a": None}])
+        assert out == [[fid], [], [], [fid], [fid]]
+
+    def test_two_notranges(self):
+        k = Koncorde()
+        fid = k.register(
+            {"and": [{"not": {"range": {"x": {"gt": 10, "lt": 20}}}},
+                     {"not": {"range": {"x": {"gt": 30, "lt": 40}}}}]}
+        )
+        out = k.test_many([{"y": 1}, {"x": 25}, {"x": 15}, {"x": 35}, {"x": 5}])
+        assert out == [[fid], [fid], [], [], [fid]]
+
+    def test_two_notexists_array_values(self):
+        k = Koncorde()
+        fid = k.register({"and": [{"missing": 'tags["a"]'}, {"missing": 'tags["b"]'}]})
+        out = k.test_many(
+            [{"z": 1}, {"tags": ["a"]}, {"tags": ["c"]}, {"tags": ["a", "b"]}]
+        )
+        assert out == [[fid], [], [fid], []]
+
+    def test_two_notregexps(self):
+        k = Koncorde()
+        fid = k.register(
+            {"and": [{"not": {"regexp": {"s": "^a"}}}, {"not": {"regexp": {"s": "z$"}}}]}
+        )
+        out = k.test_many([{"s": "hello"}, {"s": "abc"}, {"s": "xyz"}, {"q": 0}])
+        assert out == [[fid], [], [], [fid]]
+
+    def test_two_notgeo_shapes(self):
+        k = Koncorde()
+        fid = k.register({"and": [
+            {"not": {"geoBoundingBox": {"pt": {"top": 10, "left": 0, "bottom": 0, "right": 10}}}},
+            {"not": {"geoBoundingBox": {"pt": {"top": 50, "left": 40, "bottom": 40, "right": 50}}}},
+        ]})
+        out = k.test_many(
+            [{"q": 1}, {"pt": {"lat": 5, "lon": 5}}, {"pt": {"lat": 25, "lon": 25}}]
+        )
+        assert out == [[fid], [], [fid]]
+
+    def test_notequals_null_plus_value_in_one_subfilter(self):
+        """Mixed null + value notequals on one field: null doc matches only
+        the value cond -> countdown 1/2 -> no match; present other value
+        matches both."""
+        k = Koncorde()
+        fid = k.register(
+            {"and": [{"not": {"equals": {"f": None}}}, {"not": {"equals": {"f": "x"}}}]}
+        )
+        out = k.test_many([{"f": None}, {"f": "x"}, {"f": "y"}, {}])
+        assert out == [[], [], [fid], []]
