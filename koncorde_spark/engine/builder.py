@@ -27,7 +27,6 @@ from .compiled import (
     vkey,
 )
 
-EPSILON = 1e-10  # reference open-bound epsilon (rangeCondition.js:51-63)
 
 
 class FilterEngine:

@@ -33,7 +33,13 @@ def bm25_brute_topk(
         # prune to query terms BEFORE exploding: the explode then carries
         # only matching tokens instead of the full token stream
         F.filter(tokens_col(text_col), lambda t: F.array_contains(qarr, t)).alias("__qt"),
-    ).persist()  # one tokenize pass feeds both the stats agg and the tf agg
+    )
+    if materialize:
+        # one tokenize pass feeds both the stats agg and the tf agg; with
+        # materialize=False (plan inspection) we skip the cache entirely —
+        # persisting and returning lazily would pin the tokenized corpus
+        # in executor storage with no handle to ever unpersist it
+        d = d.persist()
     try:
         stats = d.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
         n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])

@@ -47,7 +47,6 @@ from pyspark.sql import types as T
 from . import fs
 
 from .codecs import (
-    delta_decode,
     delta_decode_groups,
     delta_encode,
     delta_encode_groups,
@@ -55,7 +54,7 @@ from .codecs import (
     varint_encode,
     varint_encode_groups,
 )
-from .tokenizer import count_tokens_arrow, tokenize_arrow, tokenize_series
+from .tokenizer import count_tokens_arrow, tokenize_arrow
 
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
@@ -160,7 +159,12 @@ def _docs_stage_fn(n_shards: int):
             doc_ids = _doc_ids_series(pdf["repo"], pdf["path"], pdf["commit"])
             # doc lengths only — count token runs without materializing them
             dl = count_tokens_arrow(pdf["content"])
-            shas = [hashlib.sha256(c.encode()).hexdigest() for c in pdf["content"]]
+            # null content ≡ '' (same contract as the tokenizer) — a
+            # nullable content column must not crash the docs stage
+            shas = [
+                hashlib.sha256(c.encode()).hexdigest()
+                for c in pdf["content"].fillna("")
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
@@ -455,6 +459,7 @@ def build_index(
     # global stats come straight from the per-shard manifests (rows/tokens
     # were aggregated during the docs stage) — no extra Spark job
     docs_man = _read_manifests(out_dir, "docs", fp)
+    docs_lx = {s: int(m["lineage_xor"]) for s, m in docs_man.items()}
     n_docs = sum(m["rows"] for m in docs_man.values())
     total_tokens = sum(m["tokens"] for m in docs_man.values())
     avgdl = (total_tokens / n_docs) if n_docs else 1.0
@@ -462,7 +467,14 @@ def build_index(
     # -- stage 1b: per-shard doc-length pack (query-time score lookup) -----
     dlpack_path = os.path.join(out_dir, "dlpack")
     dl_manifests = _read_manifests(out_dir, "dlpack", fp) if resume else {}
-    if len(dl_manifests) != config.n_shards:
+    # a downstream manifest is only valid if it was built from the SAME
+    # docs content — compare its recorded lineage to the current docs
+    # lineage, else a docs rebuild would silently serve stale packs
+    dl_ok = len(dl_manifests) == config.n_shards and all(
+        int(dl_manifests[sh]["lineage_xor"]) == docs_lx.get(sh, 0)
+        for sh in range(config.n_shards)
+    )
+    if not dl_ok:
         def pack(key, pdf):
             shard = int(key[0])
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -482,15 +494,19 @@ def build_index(
             .parquet(dlpack_path)
         )
         man = [
-            {"shard": s, "rows": 1, "tokens": 0, "lineage_xor": docs_lineage_xor(out_dir, s, fp)}
-            for s in range(config.n_shards)
+            {"shard": sh, "rows": 1, "tokens": 0, "lineage_xor": docs_lx.get(sh, 0)}
+            for sh in range(config.n_shards)
         ]
         _write_manifests(out_dir, "dlpack", man, fp)
 
     # -- stage 2: postings --------------------------------------------------
     t0 = time.time()
     post_manifests = _read_manifests(out_dir, "postings", fp) if resume else {}
-    missing = [s for s in range(config.n_shards) if s not in post_manifests]
+    missing = [
+        sh for sh in range(config.n_shards)
+        if sh not in post_manifests
+        or int(post_manifests[sh]["lineage_xor"]) != docs_lx.get(sh, 0)
+    ]
     if missing:
         src = corpus
         if len(missing) < config.n_shards:
@@ -527,17 +543,25 @@ def build_index(
         # full build: static overwrite wipes the whole dir (also clears
         # stale shard dirs from an older config); subset resume: dynamic
         # overwrite replaces only the recomputed shard dirs
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode",
             "static" if full_build else "dynamic",
         )
-        (
-            merged.repartition(config.n_shards, "shard")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(postings_path)
-        )
+        try:
+            (
+                merged.repartition(config.n_shards, "shard")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(postings_path)
+            )
+        finally:
+            # never leak the overwrite mode into the caller's session —
+            # it silently changes the semantics of their own writes
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         partials.unpersist()
         postings = spark.read.parquet(postings_path).persist()
         pl = (
@@ -547,14 +571,17 @@ def build_index(
         )
         man = [
             {"shard": int(r["shard"]), "rows": int(r["rows"]), "tokens": int(r["tokens"]),
-             "lineage_xor": docs_lineage_xor(out_dir, int(r["shard"]), fp)}
+             "lineage_xor": docs_lx.get(int(r["shard"]), 0)}
             for r in pl
         ]
         present = {m["shard"] for m in man}
         man += [
-            {"shard": s, "rows": 0, "tokens": 0, "lineage_xor": 0}
-            for s in range(config.n_shards)
-            if s not in present
+            # empty postings for a shard are still CONSISTENT with that
+            # shard's docs lineage — record it, else every resume would
+            # flag the shard stale and rebuild forever
+            {"shard": sh, "rows": 0, "tokens": 0, "lineage_xor": docs_lx.get(sh, 0)}
+            for sh in range(config.n_shards)
+            if sh not in present
         ]
         _write_manifests(out_dir, "postings", man, fp)
     metrics["postings_sec"] = time.time() - t0

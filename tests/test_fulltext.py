@@ -257,3 +257,67 @@ class TestLoadCorpus:
         spark.range(3).createOrReplaceTempView("bad_tbl")
         with pytest.raises(ValueError, match="missing required columns"):
             load_corpus(spark, "table:bad_tbl")
+
+
+class TestIndexRobustness:
+    def test_null_content_row_builds(self, spark, tmp_path):
+        """A nullable content column must not crash the docs stage; the
+        null row indexes as '' (tokenizer contract) with dl=0."""
+        import pandas as pd
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r"] * 3,
+                "path": ["a.py", "b.py", "c.py"],
+                "commit": ["c1"] * 3,
+                "lang": ["py"] * 3,
+                "content": ["import foo", None, "return bar"],
+            }
+        )
+        out = str(tmp_path / "nullidx")
+        meta = build_index(
+            spark, spark.createDataFrame(pdf), out, IndexConfig(n_shards=2)
+        )
+        assert meta["n_docs"] == 3
+        docs = spark.read.parquet(os.path.join(out, "docs")).toPandas()
+        null_row = docs[docs["path"] == "b.py"].iloc[0]
+        assert null_row["dl"] == 0
+        import hashlib
+
+        assert null_row["content_sha"] == hashlib.sha256(b"").hexdigest()
+
+    def test_stale_docs_lineage_invalidates_downstream(self, spark, tmp_path):
+        """If the docs stage is rebuilt with different content, resumed
+        postings/dlpack manifests must be treated as stale (their recorded
+        lineage no longer matches) and rebuilt — not silently reused."""
+        import pandas as pd
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        def corpus(marker: str):
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "repo": ["r"] * 4,
+                        "path": [f"f{i}.py" for i in range(4)],
+                        "commit": ["c1"] * 4,
+                        "lang": ["py"] * 4,
+                        "content": [f"{marker} token_{i}" for i in range(4)],
+                    }
+                )
+            )
+
+        out = str(tmp_path / "lineageidx")
+        cfg = IndexConfig(n_shards=2)
+        build_index(spark, corpus("alpha"), out, cfg)
+        # simulate a docs-only invalidation: delete the docs manifests so
+        # the docs stage reruns over CHANGED content, then resume
+        for f in os.listdir(os.path.join(out, "_manifests", "docs")):
+            os.remove(os.path.join(out, "_manifests", "docs", f))
+        build_index(spark, corpus("beta"), out, cfg, resume=True)
+
+        idx = Bm25Index(spark, out)
+        got = idx.topk("beta", 4).toPandas()
+        assert len(got) == 4  # postings rebuilt against the new docs
+        assert len(idx.topk("alpha", 4).toPandas()) == 0  # no stale postings
