@@ -21,6 +21,7 @@ from koncorde_spark.geo.oracle import geo_percolation_oracle_sql
 from koncorde_spark.spark.percolate import percolate
 from koncorde_spark.fulltext.brute import bm25_brute_sql, bm25_brute_topk
 from koncorde_spark.pipeline import dedup, similarity, text
+from koncorde_spark.rounding import round_away as _round_away
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +286,7 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = idx.topk(" ".join(BM25_QUERY_TERMS), BM25_K)
     mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
         F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        _round_away(F.col("score"), 6).alias("score"),
     )
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 

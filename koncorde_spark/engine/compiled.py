@@ -323,6 +323,13 @@ class SelectEntry:
 class CompiledIndex:
     """Immutable, picklable probe structures for one filter namespace."""
 
+    def __getstate__(self):
+        # never pickle the cached Spark broadcast handle (spark/percolate
+        # attaches it driver-side for reuse; it must not ride to executors)
+        state = dict(self.__dict__)
+        state.pop("_percolate_bc", None)
+        return state
+
     def __init__(self):
         self.n_sf = 0
         self.sf_counts = np.empty(0, dtype=np.int32)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.text import tokens_col
+from ..rounding import round_away
 
 
 def bm25_brute_topk(
@@ -63,7 +64,7 @@ def bm25_brute_topk(
             .agg(F.sum("__s").alias("score"))
         )
         if round_to is not None:
-            scored = scored.withColumn("score", F.round("score", round_to))
+            scored = scored.withColumn("score", round_away(F.col("score"), round_to))
         out = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
         if materialize:
             out = out.localCheckpoint()  # materialize while d is cached

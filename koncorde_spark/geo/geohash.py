@@ -18,26 +18,8 @@ _B32_INDEX = {c: i for i, c in enumerate(BASE32)}
 
 def decode(gh: str) -> tuple[float, float]:
     """Decode a geohash to its cell-center (lat, lon)."""
-    lat_lo, lat_hi = -90.0, 90.0
-    lon_lo, lon_hi = -180.0, 180.0
-    even = True
-    for ch in gh:
-        cd = _B32_INDEX[ch]
-        for bit in (16, 8, 4, 2, 1):
-            if even:
-                mid = (lon_lo + lon_hi) / 2
-                if cd & bit:
-                    lon_lo = mid
-                else:
-                    lon_hi = mid
-            else:
-                mid = (lat_lo + lat_hi) / 2
-                if cd & bit:
-                    lat_lo = mid
-                else:
-                    lat_hi = mid
-            even = not even
-    return (lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2
+    lat_lo, lon_lo, lat_hi, lon_hi = decode_bbox(gh)
+    return ((lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2)
 
 
 def decode_bbox(gh: str) -> tuple[float, float, float, float]:

@@ -334,7 +334,9 @@ class Standardizer:
         _check_object(filt, "select", "select", path, properties=3)
         _check_string(filt["select"], "field", "select", _path_add(path, "field"))
         idx = filt["select"].get("index")
-        if not _is_js_number(idx):
+        if not _is_js_number(idx) or idx != idx or idx in (float("inf"), float("-inf")):
+            # NaN/±inf pass _is_js_number but int() on them raises raw
+            # OverflowError/ValueError — keep the error type contractual
             raise KoncordeParseError("must be an integer", "select", _path_add(path, "index"))
         if int(idx) != idx:
             raise KoncordeParseError(

@@ -134,16 +134,16 @@ def feature_extract(media: DataFrame, decode: bool = False) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [
-                _fake_features(bytes(b)).tolist() for b in pdf["bytes"]
-            ]
+            # null media bytes ≡ b'' (same contract as null text content
+            # elsewhere — a nullable binary column must not kill the job)
+            blobs = [b"" if b is None else bytes(b) for b in pdf["bytes"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "content_sha": [hashlib.sha256(bytes(b)).hexdigest() for b in pdf["bytes"]],
-                    "n_bytes": [len(bytes(b)) for b in pdf["bytes"]],
-                    "features": feats,
+                    "content_sha": [hashlib.sha256(b).hexdigest() for b in blobs],
+                    "n_bytes": [len(b) for b in blobs],
+                    "features": [_fake_features(b).tolist() for b in blobs],
                 }
             )
 

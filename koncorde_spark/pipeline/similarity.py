@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..rounding import round_away
+
 
 def _dot_expr(vec_col: str, q: list[float]):
     qarr = "array(" + ", ".join(f"cast({x!r} as double)" for x in q) + ")"
@@ -45,7 +47,7 @@ def cosine_topk(
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     scored = df.select(
         F.col(id_col),
-        F.round(
+        round_away(
             _dot_expr(vec_col, query_vec) / (_norm_expr(vec_col) * F.lit(qn)), 9
         ).alias("cosine"),
     )
@@ -319,7 +321,7 @@ def embedding_near_dup_pairs(
         "aggregate(zip_with(__va, __vb, (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0.0 as double), (acc, v) -> acc + v)"
     )
-    cos = F.round(dot / (_norm_expr("__va") * _norm_expr("__vb")), 9)
+    cos = round_away(dot / (_norm_expr("__va") * _norm_expr("__vb")), 9)
     return (
         both.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)

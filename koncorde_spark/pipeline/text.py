@@ -12,10 +12,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..fulltext.tokenizer import SPLIT_PATTERN
+from ..rounding import round_away
 
 # Frozen stopword lists (lowercase) for the n-gram/stopword language-ID
 # heuristic. Deliberately small + embedded as literals so the same lists
 # appear verbatim in the DuckDB oracle SQL.
+# One whitespace class shared VERBATIM by Java regex (Spark), RE2 (Arrow,
+# DuckDB): Java \s lacks Unicode but includes \x0B, RE2's \s excludes
+# \x0B — an explicit class is the only spelling all three engines agree
+# on (a vertical tab in a document otherwise flips n_ws_tokens /
+# punct_ratio / fingerprints across engines).
+WS_RUN = r"[ \t\n\x0B\f\r]+"
+NONPUNCT_CLASS = r"[a-zA-Z0-9_ \t\n\x0B\f\r]"
+PUNCT_CLASS = r"[^a-zA-Z0-9_ \t\n\x0B\f\r]"
+
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "was"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
@@ -50,7 +60,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size("__t").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("__t")).cast("long").alias("n_unique_tokens"),
         "n_chars",
-        F.size(F.split("__x", r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.split("__x", WS_RUN)).cast("long").alias("n_ws_tokens"),
     )
 
 
@@ -60,7 +70,7 @@ def token_stats_sql(table: str, text_col: str = "text", id_col: str = "doc_id") 
            len({tokens_sql(text_col)})::BIGINT AS n_tokens,
            len(list_distinct({tokens_sql(text_col)}))::BIGINT AS n_unique_tokens,
            length({text_col})::BIGINT AS n_chars,
-           len(string_split_regex({text_col}, '\\s+'))::BIGINT AS n_ws_tokens
+           len(string_split_regex({text_col}, '{WS_RUN}'))::BIGINT AS n_ws_tokens
     FROM {table}
     """
 
@@ -70,7 +80,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     lexical diversity. All Catalyst expressions."""
     toks = tokens_col(text_col)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9_\s]", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), NONPUNCT_CLASS, ""))
     return (
         df.select(
             F.col(id_col),
@@ -82,15 +92,15 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             id_col,
             "n_chars",
             F.size("__t").cast("long").alias("n_tokens"),
-            F.round(F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
+            round_away(F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
                 "punct_ratio"
             ),
-            F.round(
+            round_away(
                 F.size(F.filter("__t", lambda t: F.array_contains(en_stop, t)))
                 / F.greatest(F.size("__t"), F.lit(1)),
                 6,
             ).alias("stopword_ratio"),
-            F.round(
+            round_away(
                 F.size(F.array_distinct("__t")) / F.greatest(F.size("__t"), F.lit(1)), 6
             ).alias("lexical_diversity"),
         )
@@ -104,7 +114,7 @@ def quality_score_sql(table: str, text_col: str = "text", id_col: str = "doc_id"
     SELECT {id_col},
            length({text_col})::BIGINT AS n_chars,
            len({t})::BIGINT AS n_tokens,
-           round(length(regexp_replace({text_col}, '[a-zA-Z0-9_\\s]', '', 'g'))
+           round(length(regexp_replace({text_col}, '{NONPUNCT_CLASS}', '', 'g'))
                  / greatest(length({text_col}), 1), 6) AS punct_ratio,
            round(len(list_filter({t}, x -> list_contains([{stop}], x)))
                  / greatest(len({t}), 1), 6) AS stopword_ratio,
@@ -166,19 +176,17 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (The rolling-hash / winnowing variant lives in dedup.simhash — this is
     the cheap exact-normalized fingerprint, identical in both engines.)
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RUN, " "))
+    h = F.md5(norm)
     return df.select(
         F.col(id_col),
-        F.md5(norm).alias("fp_md5"),
-        F.expr(
-            f"cast(conv(substring(md5(trim(regexp_replace(lower({text_col}),"
-            f" '\\\\s+', ' '))), 1, 15), 16, 10) as bigint)"
-        ).alias("fp_int"),
+        h.alias("fp_md5"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp_int"),
     )
 
 
 def fingerprint_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
-    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    norm = f"trim(regexp_replace(lower({text_col}), '{WS_RUN}', ' ', 'g'))"
     return f"""
     SELECT {id_col},
            md5({norm}) AS fp_md5,
@@ -208,8 +216,11 @@ _FEATURES_SCHEMA_TAIL = (
 
 
 def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
-    """round(x, 6) with HALF_UP ties — what Spark's round() and DuckDB's
-    round() both do for doubles (numpy's own round is half-even)."""
+    """round(x, 6) half away from zero on the FP product — what DuckDB's
+    round() does for doubles (inputs here are non-negative ratios, so the
+    plain floor form suffices). Spark's F.round is HALF_UP on the decimal
+    string and diverges (see koncorde_spark/rounding.py); numpy's own
+    round is half-even. The Catalyst twins use rounding.round_away."""
     import numpy as np
 
     return np.floor(x * 1e6 + 0.5) / 1e6
@@ -236,12 +247,12 @@ def _text_features_batch(texts, id_vals):
     low = pc.utf8_lower(arr)
     n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
     n_ws = (
-        pc.list_value_length(pc.split_pattern_regex(arr, r"\s+"))
+        pc.list_value_length(pc.split_pattern_regex(arr, WS_RUN))
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
     n_punct = (
-        pc.count_substring_regex(arr, r"[^a-zA-Z0-9_\s]")
+        pc.count_substring_regex(arr, PUNCT_CLASS)
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
@@ -274,7 +285,7 @@ def _text_features_batch(texts, id_vals):
     pred = np.array(FEATURE_LANGS, dtype=object)[smat.argmax(axis=1)]
     pred[best <= 0] = "und"
 
-    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(low, r"\s+", " "))
+    norm = pc.utf8_trim(pc.replace_substring_regex(low, WS_RUN, " "), " ")
     fp_md5 = np.empty(n, dtype=object)
     fp_int = np.empty(n, dtype=np.int64)
     for i, s in enumerate(norm.to_pylist()):
@@ -341,7 +352,7 @@ def text_features_sql(table: str, text_col: str = "text", id_col: str = "doc_id"
     for g in langs:
         case += f"WHEN score_{g} = {best} THEN '{g}' "
     case += "END"
-    norm = "trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))"
+    norm = f"trim(regexp_replace(lower(x), '{WS_RUN}', ' ', 'g'))"
     return f"""
     WITH toks AS (SELECT {id_col}, {x} AS x, {t} AS t FROM {table}),
     s AS (
@@ -349,9 +360,9 @@ def text_features_sql(table: str, text_col: str = "text", id_col: str = "doc_id"
              len(t)::BIGINT AS n_tokens,
              len(list_distinct(t))::BIGINT AS n_unique_tokens,
              length(x)::BIGINT AS n_chars,
-             len(string_split_regex(x, '\\s+'))::BIGINT AS n_ws_tokens,
+             len(string_split_regex(x, '{WS_RUN}'))::BIGINT AS n_ws_tokens,
              len(regexp_extract_all(x, '{BPE_PIECE_PATTERN}'))::BIGINT AS n_bpe_tokens,
-             length(regexp_replace(x, '[a-zA-Z0-9_\\s]', '', 'g'))::BIGINT AS n_punct,
+             length(regexp_replace(x, '{NONPUNCT_CLASS}', '', 'g'))::BIGINT AS n_punct,
              {', '.join(score_exprs)}
       FROM toks
     )

@@ -109,7 +109,17 @@ def percolate(
         + [T.StructField(c, df.schema[c].dataType) for c in keep_cols]
     )
 
-    bc = spark.sparkContext.broadcast(index)
+    # reuse one broadcast per (SparkContext, index): re-broadcasting the
+    # full compiled index on every percolate() call accumulates executor
+    # block-manager memory across a long-lived session. The handle is
+    # attached AFTER broadcasting (the payload is serialized at creation),
+    # so it never rides inside its own broadcast.
+    cached = getattr(index, "_percolate_bc", None)
+    if cached is not None and cached[0] is spark.sparkContext:
+        bc = cached[1]
+    else:
+        bc = spark.sparkContext.broadcast(index)
+        index._percolate_bc = (spark.sparkContext, bc)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ci: CompiledIndex = bc.value

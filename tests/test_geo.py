@@ -216,3 +216,28 @@ class TestShapeFormatMatrix:
         # vertex decodes to the exact point or the geohash cell center
         assert register_and_test(f, {"pos": {"lat": 43.585, "lon": 3.886}})
         assert not register_and_test(f, {"pos": OUTSIDE})
+
+
+class TestInvalidGeohashChars:
+    """Deliberate divergence (documented in SURVEY.md): geohashes with
+    non-base32 chars a/i/l/o are rejected loudly — the reference's
+    ngeohash silently decodes them to garbage coordinates near (90,180)
+    (indexOf -1 & bit is truthy -> always upper half-interval)."""
+
+    def test_invalid_base32_rejected(self):
+        import pytest as _pytest
+
+        from koncorde_spark import Koncorde
+        from koncorde_spark.errors import KoncordeParseError
+
+        k = Koncorde()
+        for gh in ["solo", "abcd", "airy"]:
+            with _pytest.raises(KoncordeParseError):
+                k.register({"geoDistance": {"pt": gh, "distance": "1km"}})
+
+    def test_valid_base32_accepted(self):
+        from koncorde_spark import Koncorde
+
+        assert Koncorde().register(
+            {"geoDistance": {"pt": "spey61", "distance": "1km"}}
+        )
