@@ -417,11 +417,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     bm25 = bm25_brute_sql("documents", BM25_QUERY_TERMS, BM25_K)
+    # the indexed path cuts its top-k ordered by the INTERNAL sha-derived
+    # doc id (indexer.doc_id_of over the corpus identity columns) — its
+    # oracle must break score ties the same way, or a tie group straddling
+    # rank K picks different doc sets per engine (duplicate texts in the
+    # documents fixture score identically). Verified bit-identical to
+    # doc_id_of: first 63 bits of sha256(repo \x00 path \x00 commit).
+    internal_id = (
+        "((('0x' || substr(sha256("
+        "'testdata/' || source || chr(0) || "
+        "'docs/doc_' || CAST(doc_id AS VARCHAR) || '.txt' || chr(0) || "
+        "substr(sha256(text), 1, 40)"
+        "), 1, 16))::UBIGINT >> 1))::BIGINT"
+    )
+    bm25_indexed = bm25_brute_sql(
+        "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
     out = {
         "perc_events": percolation_oracle_sql(
-            {fid: dnf for fid, dnf in _dnfs(EVENTS_FILTERS).items()},
-            _EVENTS_ORACLE_TABLE,
-            "event_id",
+            _dnfs(EVENTS_FILTERS), _EVENTS_ORACLE_TABLE, "event_id"
         ),
         "perc_lineitem": percolation_oracle_sql(
             _dnfs(LINEITEM_FILTERS), _LINEITEM_ORACLE_TABLE, "line_id"
@@ -438,7 +452,7 @@ def oracle_sql() -> dict[str, str]:
             _dnfs(GEO_SHAPE_FILTERS), _geo_oracle_where_table(), "event_id"
         ),
         "bm25_brute": bm25,
-        "bm25_topk": bm25,
+        "bm25_topk": bm25_indexed,
         "dedup_exact": dedup.exact_groups_sql("documents"),
         "minhash16": dedup.minhash_signatures_sql("documents", num_perm=16),
         "simhash64": dedup.simhash_sql("documents"),

@@ -68,6 +68,7 @@ def main():
     )
     ev_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     extra["perc_events_docs_per_sec"] = round(ev_rows / queries["perc_events"], 1)
+    extra["perc_events_hits"] = n_events  # sanity: match-pair count
 
     timed("perc_lineitem", lambda: E._q_perc_lineitem(spark, sf_dir).count())
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()

@@ -82,16 +82,32 @@ def bm25_brute_sql(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    tie_sql: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`bm25_brute_topk` (identical tokens + formula)."""
+    """DuckDB twin of :func:`bm25_brute_topk` (identical tokens + formula).
+
+    ``tie_sql``: optional expression over the source ``table`` columns used
+    to break score ties in the top-k cut instead of ``id_col`` — the
+    indexed path cuts at k ordered by its INTERNAL sha-derived doc id, so
+    its oracle must reproduce that exact tie-break or a tie group
+    straddling rank k picks different doc sets per engine."""
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    tie_group = ", d3.__tie" if tie_sql else ""
+    # the indexed path cuts by RAW score (WAND heap) before rounding, so
+    # its oracle orders by the source column (qualified name bypasses the
+    # rounded output alias); the Spark brute path orders by the rounded
+    # score, so its oracle keeps the alias.
+    order_score = "scored.score" if tie_sql else "score"
     return f"""
     WITH d2 AS (
-      SELECT {id_col},
+      SELECT {id_col}{tie_proj},
              list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
                          t -> t <> '') AS toks
       FROM {table}
-    ), d3 AS (SELECT {id_col}, toks, len(toks) AS dl FROM d2),
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
     tf AS (
       SELECT {id_col}, term, count(*) AS tf
@@ -101,15 +117,15 @@ def bm25_brute_sql(
     ),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
-      SELECT tf.{id_col},
+      SELECT tf.{id_col}{tie_group},
              sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
                  * tf.tf * ({k1} + 1.0)
                  / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
       FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
-      GROUP BY tf.{id_col}
+      GROUP BY tf.{id_col}{tie_group}
     )
     SELECT {id_col}, round(score, 6)::DOUBLE AS score
     FROM scored
-    ORDER BY score DESC, {id_col} ASC
+    ORDER BY {order_score} DESC, {tie} ASC
     LIMIT {k}
     """

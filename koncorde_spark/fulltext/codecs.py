@@ -102,7 +102,10 @@ def delta_encode_groups(
         return b"", np.zeros(len(group_offsets), dtype=np.int64)
     deltas = arr.copy()
     deltas[1:] = arr[1:] - arr[:-1]
+    # empty groups have start == end (possibly == arr.size): rebasing only
+    # the non-empty starts keeps the contract of the sibling varint codec
     starts = group_offsets[:-1]
+    starts = starts[starts < group_offsets[1:]]
     deltas[starts] = arr[starts]
     return varint_encode_groups(deltas, group_offsets)
 
@@ -119,7 +122,10 @@ def delta_decode_groups(deltas: np.ndarray, group_offsets: np.ndarray) -> np.nda
     c = np.cumsum(deltas, dtype=np.uint64)
     starts = group_offsets[:-1]
     counts = np.diff(group_offsets)
-    base = c[starts] - deltas[starts]
+    # empty groups may have start == len(deltas); their base is repeated
+    # zero times, so clamp the index instead of crashing on it
+    safe = np.minimum(starts, len(deltas) - 1)
+    base = c[safe] - deltas[safe]
     return c - np.repeat(base, counts)
 
 

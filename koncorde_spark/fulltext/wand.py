@@ -66,9 +66,8 @@ def topk_block_max_wand(terms: list[TermPostings], k: int) -> tuple[np.ndarray, 
         live = [i for i in range(nterms) if ptr[i] < len(terms[i].doc_ids)]
         if not live:
             break
-        # current segment: [seg_start, boundary] where boundary is the
-        # smallest current-block end among live terms
-        seg_start = min(int(terms[i].doc_ids[ptr[i]]) for i in live)
+        # current segment ends at the smallest current-block end among
+        # live terms; scoring slices start at each contributor's own ptr
         boundary = None
         ub = 0.0
         contributors = []

@@ -321,3 +321,22 @@ class TestIndexRobustness:
         got = idx.topk("beta", 4).toPandas()
         assert len(got) == 4  # postings rebuilt against the new docs
         assert len(idx.topk("alpha", 4).toPandas()) == 0  # no stale postings
+
+
+class TestCodecEdges:
+    def test_delta_encode_groups_tolerates_empty_groups(self):
+        """Offsets with empty (including trailing) groups must round-trip —
+        deltas[starts] on an empty trailing group indexed out of bounds."""
+        import numpy as np
+
+        from koncorde_spark.fulltext.codecs import (
+            delta_decode_groups,
+            delta_encode_groups,
+            varint_decode,
+        )
+
+        arr = np.array([5, 9, 12], dtype=np.uint64)
+        offsets = np.array([0, 0, 3, 3], dtype=np.int64)  # empty first+last
+        buf, lens = delta_encode_groups(arr, offsets)
+        back = delta_decode_groups(varint_decode(buf, 3), offsets)
+        assert back.tolist() == [5, 9, 12]

@@ -7,11 +7,11 @@ the SAME input and report throughput at both plus the efficiency
 ((files_sec_4N / files_sec_N) / 4).
 
 Methodology notes (all deliberate):
-- **CPU pinning**: each run executes under `taskset -c 0..N-1`. Without
-  pinning, local[8]'s 8 JVM task threads AND its 8 python workers each
-  get their own physical core (16 cores for an "8-core" run) while
-  local[32] oversubscribes 64 threads onto 32 cores — pinning makes
-  "N" mean N physical cores, like a real N-core executor.
+- **CPU pinning (opt-in via --pinned)**: pinned runs execute under
+  `taskset -c 0..N-1`, making "N" mean N physical cores like a real
+  N-core executor. The DEFAULT (driver-methodology) run is UNPINNED:
+  local[8]'s 8 JVM task threads and 8 python workers can spread over
+  all host cores — both readings are reported in BENCH/BASELINE.md.
 - **Warm-up build** per session: python-worker fork + numpy import is a
   per-executor one-time cost, zero on a long-lived cluster.
 - **Interleaved best-of-2** (8,32,8,32) with cool-downs: this VM's
@@ -75,8 +75,13 @@ def run_subprocess(cpus: int, n_rows: int, pinned: bool) -> dict:
         cmd += ["taskset", "-c", f"0-{cpus - 1}"]
     cmd += [sys.executable, os.path.abspath(__file__), "--single", str(cpus), str(n_rows)]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"child run (cpus={cpus}) failed rc={proc.returncode}:\n"
+            + proc.stderr[-4000:]
+        )
+    return json.loads(lines[-1])
 
 
 def main():

@@ -8,6 +8,8 @@ Usage: python tools/verify_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+
+import numpy as np
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -30,7 +32,12 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     for tup in df.itertuples(index=False):
         row = []
         for v in tup:
-            if isinstance(v, float):
+            # np.float32 is not a Python float — normalize ALL floating
+            # values (float/np.float32/np.float64) the same way, else a
+            # FloatType Spark column compares unrounded vs a rounded
+            # float64 oracle and NaN never maps to None
+            if isinstance(v, float) or (hasattr(v, "dtype") and np.issubdtype(type(v), np.floating)):
+                v = float(v)
                 if math.isnan(v):
                     row.append(None)
                 else:
