@@ -27,10 +27,24 @@ NONPUNCT_CLASS = r"[a-zA-Z0-9_ \t\n\x0B\f\r]"
 PUNCT_CLASS = r"[^a-zA-Z0-9_ \t\n\x0B\f\r]"
 
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "was"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
-    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
-    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "was",
+           "on", "are", "with", "as", "his", "they", "be", "at", "have", "this",
+           "from", "or", "had", "by", "not", "but", "what", "were", "when", "we"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu",
+           "den", "im", "sich", "auf", "es", "auch", "an", "werden", "aus", "er",
+           "hat", "dass", "sie", "nach", "wird", "bei", "einer", "um", "am", "sind"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour",
+           "dans", "en", "du", "des", "il", "qui", "ne", "sur", "se", "pas",
+           "plus", "par", "avec", "tout", "son", "mais", "nous", "comme", "ou", "si"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por",
+           "las", "del", "se", "con", "para", "una", "su", "al", "lo", "como",
+           "mas", "pero", "sus", "le", "ya", "o", "este", "ha", "cuando", "todo"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "in", "sono", "non",
+           "una", "le", "si", "con", "del", "da", "al", "come", "piu", "anche"],
+    "pt": ["de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "com", "nao", "uma", "os", "no", "se", "na", "por", "mais", "as"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als", "dan"],
 }
 
 
