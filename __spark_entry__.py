@@ -20,7 +20,7 @@ from koncorde_spark.engine.to_sql import percolation_oracle_sql
 from koncorde_spark.geo.oracle import geo_percolation_oracle_sql
 from koncorde_spark.spark.percolate import percolate
 from koncorde_spark.fulltext.brute import bm25_brute_sql, bm25_brute_topk
-from koncorde_spark.pipeline import dedup, similarity, text
+from koncorde_spark.pipeline import dedup, sampling, similarity, text
 from koncorde_spark.rounding import round_away as _round_away
 
 
@@ -353,6 +353,21 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_features(docs)
 
 
+def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: pure function of
+    (seed, id) — stable across reruns and repartitions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.deterministic_split(docs).select("doc_id", "split")
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: eval = every 25th document, train = the
+    full table; shingle-overlap pairs above 50%."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    return sampling.contamination_pairs(docs, ev)
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH bucket (frozen literal
     hyperplanes, cross-engine bit-identical) -> capped bucket join ->
@@ -408,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "text_features": _q_text_features,
+        "doc_split": _q_doc_split,
+        "contamination": _q_contamination,
         "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
@@ -463,6 +480,12 @@ def oracle_sql() -> dict[str, str]:
         "langid": text.language_id_sql("documents"),
         "fingerprint": text.fingerprint_sql("documents"),
         "text_features": text.text_features_sql("documents"),
+        "doc_split": "SELECT doc_id, split FROM ("
+        + sampling.deterministic_split_sql("documents")
+        + ")",
+        "contamination": sampling.contamination_pairs_sql(
+            "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
+        ),
         "emb_near_dup": similarity.embedding_near_dup_pairs_sql("embeddings"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
         "ann_lsh": similarity.ann_topk_catalyst_sql(

@@ -1,0 +1,163 @@
+"""Dataset assembly operators: deterministic splits and test-set
+decontamination — the last-mile ops of a training-data pipeline.
+
+Scale design (100 TB):
+- deterministic_split: one md5 per row (JVM-side), no shuffle, no state —
+  the split assignment is a pure function of (seed, id), so it is stable
+  across reruns, re-partitions, and engine versions, and any row's split
+  can be recomputed independently (auditable lineage).
+- contamination_pairs: the eval set is small by construction, so its
+  distinct shingles broadcast; the train side is filtered to colliding
+  shingles BEFORE any aggregation — the big table is touched by one scan
+  + one broadcast semi-join-shaped probe, never an all-pairs join.
+
+Both have DuckDB twins sharing every constant and hash formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles_from_hashes, _shingles_sql, _token_hashes_spark
+from .text import tokens_col
+
+SPLIT_BUCKETS = 1_000_000  # split granularity: 1e-6 weight resolution
+
+
+def _split_bucket_expr(id_col: str, seed: str):
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from md5(seed:id) —
+    60-bit prefix, same derivation in the SQL twin."""
+    key = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(SPLIT_BUCKETS))
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "koncorde",
+) -> DataFrame:
+    """Assign every row a stable split label (e.g. train/val/test).
+
+    ``weights`` maps label → fraction (must sum to ≤ 1; any remainder
+    falls into the LAST label). Assignment is a pure function of
+    (seed, id): rerunning, repartitioning, or growing the table never
+    reassigns an existing row."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = _split_bucket_expr(id_col, seed)
+    labels = list(weights)
+    cum = 0.0
+    expr = None
+    for label in labels[:-1]:
+        cum += weights[label]
+        cond = bucket < int(round(cum * SPLIT_BUCKETS))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    expr = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    return df.withColumn("split", expr)
+
+
+def deterministic_split_sql(
+    table: str,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "koncorde",
+) -> str:
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    labels = list(weights)
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SPLIT_BUCKETS})"
+    )
+    case = "CASE "
+    cum = 0.0
+    for label in labels[:-1]:
+        cum += weights[label]
+        case += f"WHEN {bucket} < {int(round(cum * SPLIT_BUCKETS))} THEN '{label}' "
+    case += f"ELSE '{labels[-1]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    train_id: str = "doc_id",
+    test_id: str = "doc_id",
+    shingle_k: int = 3,
+    min_overlap_frac: float = 0.5,
+) -> DataFrame:
+    """Test-set decontamination: (test_id, train_id, overlap, overlap_frac)
+    for train docs sharing ≥ ``min_overlap_frac`` of a test doc's distinct
+    token k-gram shingles (the standard n-gram contamination check run
+    before training).
+
+    The test side (small) is broadcast; the train scan keeps only
+    shingles colliding with the test vocabulary before any aggregation,
+    so the cost is one pass over the corpus + tiny joins. Shingle ids are
+    the same per-token-md5 Horner fold as MinHash (bit-identical in the
+    DuckDB twin)."""
+
+    def shingled(df: DataFrame, id_col: str, out_id: str):
+        return (
+            df.select(F.col(id_col).alias(out_id), tokens_col(text_col).alias("__t"))
+            .select(F.col(out_id), _token_hashes_spark("__t").alias("__th"))
+            .select(
+                F.col(out_id),
+                F.explode(
+                    F.array_distinct(_shingles_from_hashes("__th", shingle_k))
+                ).alias("s"),
+            )
+        )
+
+    te = shingled(test, test_id, "__test_id").persist()
+    te_sizes = te.groupBy("__test_id").agg(F.count("*").alias("__n_test"))
+    tr = shingled(train, train_id, "__train_id")
+    overlaps = (
+        tr.join(F.broadcast(te), "s")
+        .groupBy("__test_id", "__train_id")
+        .agg(F.count("*").alias("overlap"))
+        .join(F.broadcast(te_sizes), "__test_id")
+        .select(
+            F.col("__test_id").alias("test_id"),
+            F.col("__train_id").alias("train_id"),
+            F.col("overlap"),
+            (F.col("overlap") / F.col("__n_test")).alias("overlap_frac"),
+        )
+        .where(F.col("overlap_frac") >= min_overlap_frac)
+    )
+    return overlaps
+
+
+def contamination_pairs_sql(
+    train_table: str,
+    test_table: str,
+    text_col: str = "text",
+    train_id: str = "doc_id",
+    test_id: str = "doc_id",
+    shingle_k: int = 3,
+    min_overlap_frac: float = 0.5,
+) -> str:
+    """DuckDB twin of contamination_pairs (same shingle formula; the
+    overlap fraction is an exact int/int double division — no rounding
+    needed for cross-engine hashing)."""
+    sh = _shingles_sql(text_col, shingle_k, distinct=True)
+    return f"""
+    WITH te AS (
+      SELECT {test_id} AS test_id, unnest({sh}) AS s FROM {test_table}
+    ),
+    te_sizes AS (SELECT test_id, count(*) AS n_test FROM te GROUP BY test_id),
+    tr AS (
+      SELECT {train_id} AS train_id, unnest({sh}) AS s FROM {train_table}
+    ),
+    ov AS (
+      SELECT te.test_id, tr.train_id, count(*) AS overlap
+      FROM tr JOIN te USING (s)
+      GROUP BY te.test_id, tr.train_id
+    )
+    SELECT ov.test_id, ov.train_id, ov.overlap,
+           ov.overlap / te_sizes.n_test AS overlap_frac
+    FROM ov JOIN te_sizes USING (test_id)
+    WHERE ov.overlap / te_sizes.n_test >= {min_overlap_frac!r}
+    """

@@ -343,3 +343,59 @@ class TestClustering:
         ids = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
         # doc 1 is the exact dup of doc 0 → dropped; everything else kept
         assert ids == [0, 2, 3, 4, 5, 6, 7]
+
+
+class TestSampling:
+    def test_split_deterministic_and_proportioned(self, spark):
+        from koncorde_spark.pipeline import sampling
+
+        pdf = pd.DataFrame({"doc_id": range(5000), "text": ["t"] * 5000})
+        df = spark.createDataFrame(pdf)
+        a = sampling.deterministic_split(df).select("doc_id", "split").toPandas()
+        b = (
+            sampling.deterministic_split(df.repartition(7))
+            .select("doc_id", "split")
+            .toPandas()
+        )
+        # same assignment regardless of partitioning / rerun
+        assert a.sort_values("doc_id")["split"].tolist() == b.sort_values("doc_id")["split"].tolist()
+        frac = (a["split"] == "train").mean()
+        assert 0.88 < frac < 0.92
+
+    def test_split_stable_under_growth(self, spark):
+        """Adding rows must never reassign existing rows (pure function
+        of seed+id)."""
+        from koncorde_spark.pipeline import sampling
+
+        small = spark.createDataFrame(pd.DataFrame({"doc_id": range(100), "text": ["t"] * 100}))
+        big = spark.createDataFrame(pd.DataFrame({"doc_id": range(200), "text": ["t"] * 200}))
+        a = sampling.deterministic_split(small).select("doc_id", "split").toPandas().set_index("doc_id")
+        b = sampling.deterministic_split(big).select("doc_id", "split").toPandas().set_index("doc_id")
+        assert (b.loc[a.index, "split"] == a["split"]).all()
+
+    def test_contamination_detects_planted_overlap(self, spark):
+        from koncorde_spark.pipeline import sampling
+
+        train = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "the quick brown fox jumps over the lazy dog tonight",
+                        "completely unrelated content about spark and parquet",
+                        "the quick brown fox jumps over a sleepy cat tonight",
+                    ],
+                }
+            )
+        )
+        test = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [100], "text": ["the quick brown fox jumps over the lazy dog tonight"]}
+            )
+        )
+        got = sampling.contamination_pairs(train, test).toPandas()
+        hits = {(r.test_id, r.train_id): r.overlap_frac for r in got.itertuples()}
+        assert hits[(100, 1)] == 1.0          # exact copy flagged
+        assert (100, 2) not in hits           # unrelated not flagged
+        # near-copy shares a sizable shingle fraction
+        assert hits.get((100, 3), 0) >= 0.5
