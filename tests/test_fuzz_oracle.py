@@ -111,7 +111,18 @@ def filters():
         st.lists(l, min_size=1, max_size=3).map(lambda fs: {"and": fs}),
         st.lists(l, min_size=1, max_size=3).map(lambda fs: {"or": fs}),
     )
-    return st.one_of(l, maybe_not(combo), same_field_negatives())
+    nested = st.one_of(
+        st.tuples(combo, l).map(lambda t: {"and": [t[0], t[1]]}),
+        st.tuples(combo, combo).map(lambda t: {"or": [t[0], t[1]]}),
+    )
+    bool_op = st.tuples(
+        st.lists(leaf(), min_size=1, max_size=2),
+        st.lists(leaf(), min_size=1, max_size=2),
+        st.lists(leaf(), min_size=1, max_size=2),
+    ).map(
+        lambda t: {"bool": {"must": t[0], "must_not": t[1], "should": t[2]}}
+    )
+    return st.one_of(l, maybe_not(combo), maybe_not(nested), bool_op, same_field_negatives())
 
 
 def docs_frame(draw):
