@@ -124,30 +124,46 @@ def _qm_minimize(minterms: set[int], n: int) -> list[str]:
         primes |= current - combined
         current = nxt
 
-    # Cover selection: essential primes first, then greedy by coverage.
+    # Cover selection: essential primes, then an EXACT minimum cover of the
+    # residual (branch-and-bound) when the residual is small, else greedy.
+    # Espresso (the reference's minimizer) emits an irredundant prime cover;
+    # whenever the essential primes alone cover the ON-set that cover is the
+    # UNIQUE irredundant prime cover, so our cube set provably equals
+    # espresso's (tests/test_dnf_minimization_parity.py pins this).
     def covers(imp: tuple[int, int], m: int) -> bool:
         v, mask = imp
         return (m & ~mask) == (v & ~mask)
 
     ordered_primes = sorted(primes, key=lambda im: (-bin(im[1]).count("1"), im[0], im[1]))
-    uncovered = set(minterms)
-    chosen: list[tuple[int, int]] = []
 
     cover_map: dict[int, list[tuple[int, int]]] = {
         m: [p for p in ordered_primes if covers(p, m)] for m in minterms
     }
+    chosen: list[tuple[int, int]] = []
     for m, ps in sorted(cover_map.items()):
         if len(ps) == 1 and ps[0] not in chosen:
             chosen.append(ps[0])
+    uncovered = set(minterms)
     for p in chosen:
         uncovered -= {m for m in uncovered if covers(p, m)}
-    while uncovered:
-        best = max(
-            ordered_primes,
-            key=lambda p: (sum(1 for m in uncovered if covers(p, m)), -p[0]),
-        )
-        chosen.append(best)
-        uncovered -= {m for m in uncovered if covers(best, m)}
+
+    residual_primes = [
+        p
+        for p in ordered_primes
+        if p not in chosen and any(covers(p, m) for m in uncovered)
+    ]
+    if uncovered:
+        exact = _exact_cover(sorted(uncovered), residual_primes, covers)
+        if exact is not None:
+            chosen.extend(exact)
+        else:  # residual too large for exact search: greedy
+            while uncovered:
+                best = max(
+                    residual_primes,
+                    key=lambda p: (sum(1 for m in uncovered if covers(p, m)), -p[0]),
+                )
+                chosen.append(best)
+                uncovered -= {m for m in uncovered if covers(best, m)}
 
     cubes = []
     for v, mask in chosen:
@@ -157,6 +173,58 @@ def _qm_minimize(minterms: set[int], n: int) -> list[str]:
             cube.append("-" if mask & bit else ("1" if v & bit else "0"))
         cubes.append("".join(cube))
     return sorted(set(cubes))
+
+
+_EXACT_COVER_MAX_PRIMES = 26
+_EXACT_COVER_MAX_MINTERMS = 2048
+
+
+def _exact_cover(minterms, primes, covers):
+    """Minimum-cardinality prime cover via branch-and-bound.
+
+    Deterministic: the branch order (canonical prime order, fewest-covers-first
+    minterm selection) is fixed and the first minimum-size cover found wins.
+    Returns None when the residual problem exceeds the feasibility gate
+    (caller falls back to greedy).
+    """
+    if len(primes) > _EXACT_COVER_MAX_PRIMES or len(minterms) > _EXACT_COVER_MAX_MINTERMS:
+        return None
+
+    idx = {m: i for i, m in enumerate(minterms)}
+    full = (1 << len(minterms)) - 1
+    pmasks = []
+    for p in primes:
+        mask = 0
+        for m in minterms:
+            if covers(p, m):
+                mask |= 1 << idx[m]
+        pmasks.append(mask)
+    m_primes = [
+        [j for j, pm in enumerate(pmasks) if pm >> i & 1] for i in range(len(minterms))
+    ]
+
+    best: list[list[int]] = [list(range(len(primes) + 1))]  # sentinel: worse than any
+
+    def search(covered: int, picked: list[int]) -> None:
+        if len(picked) >= len(best[0]):
+            return
+        if covered == full:
+            best[0] = list(picked)
+            return
+        # branch on the uncovered minterm with the fewest covering primes
+        tgt = min(
+            (i for i in range(len(minterms)) if not covered >> i & 1),
+            key=lambda i: len(m_primes[i]),
+        )
+        for j in m_primes[tgt]:
+            if j in picked:
+                continue
+            picked.append(j)
+            search(covered | pmasks[j], picked)
+            picked.pop()
+
+    search(0, [])
+    return [primes[j] for j in best[0]]
 
 
 # ---------------------------------------------------------------------------

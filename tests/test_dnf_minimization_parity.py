@@ -1,0 +1,478 @@
+"""Multi-condition DNF minimization parity with the reference's espresso.
+
+The reference minimizes the filter truth table with the Espresso heuristic
+(/root/reference/lib/transform/canonical.ts:266-274: full 2^n truth table
+pushed row-by-row, `espresso.minimize()`); we use Quine-McCluskey primes +
+exact minimum cover (koncorde_spark/normalize/canonical.py:_qm_minimize).
+The espresso native addon cannot run in this sandbox, so byte-level output
+cannot be captured — instead this file proves cube-SET identity analytically
+wherever it is provable, and pins the exact residual divergence class:
+
+1. Espresso's output on a fully-specified function is an IRREDUNDANT cover
+   of PRIME implicants (Espresso-II: EXPAND makes every cube prime,
+   IRREDUNDANT_COVER removes redundant cubes; Brayton et al. 1984).
+2. Every irredundant prime cover must contain every ESSENTIAL prime, and
+   nothing else can be added without redundancy once essentials cover the
+   ON-set. Therefore: when the essential primes alone cover the ON-set, the
+   irredundant prime cover is UNIQUE, and espresso's cube set provably
+   equals ours. Each golden below tagged `unique=True` is verified to be in
+   that regime, so set-parity with the reference is proven, not assumed.
+3. When the cover is NOT unique (cyclic covers — no essential primes), the
+   two minimizers may legitimately pick different (equally minimal) covers.
+   That case is pinned explicitly in test_cyclic_cover_divergence_pinned
+   and documented in SURVEY §8. OR-clause *order* within the DNF is
+   implementation-defined in espresso's output; the reference hashes its
+   order, we hash ours (sorted cube strings) — IDs are internally stable in
+   both engines but cross-engine ID equality is only guaranteed for
+   single-cube / single-condition filters (pinned in test_id_parity.py).
+
+Golden expectations were frozen from the current implementation after
+manual verification against the reference semantics
+(/root/reference/lib/transform/canonical.ts:61-133 conversion rules,
+canonical.test.js:12-267 pruning rules).
+"""
+
+import itertools
+
+import pytest
+
+from koncorde_spark.normalize import Transformer
+from koncorde_spark.normalize.canonical import (
+    _eval_filter,
+    _extract_conditions,
+    _qm_minimize,
+)
+from koncorde_spark.normalize.standardize import NormalizedExists
+
+
+def ex(path, array=False, value=None):
+    return NormalizedExists(path=path, array=array, value=value)
+
+
+def eq(field, value, not_=False):
+    return {"equals": {field: value}, "not": not_}
+
+
+# ---------------------------------------------------------------------------
+# Prime-implicant machinery (test-side, independent of the implementation)
+# ---------------------------------------------------------------------------
+
+
+def cube_covers(cube: str, minterm: int) -> bool:
+    for i, ch in enumerate(cube):
+        if ch == "-":
+            continue
+        if ((minterm >> i) & 1) != (ch == "1"):
+            return False
+    return True
+
+
+def cube_minterms(cube: str) -> set[int]:
+    free = [i for i, ch in enumerate(cube) if ch == "-"]
+    base = sum(1 << i for i, ch in enumerate(cube) if ch == "1")
+    out = set()
+    for bits in itertools.product((0, 1), repeat=len(free)):
+        m = base
+        for i, b in zip(free, bits):
+            m |= b << i
+        out.add(m)
+    return out
+
+
+def all_primes(onset: set[int], n: int) -> set[str]:
+    """Every prime implicant of the ON-set, by brute cube enumeration.
+
+    A cube is an implicant iff all its minterms are in the ON-set; it is
+    prime iff no single-literal relaxation is still an implicant. Brute
+    force over all 3^n cubes — fine for the n <= 6 used in tests.
+    """
+    primes = set()
+    for cube_t in itertools.product("01-", repeat=n):
+        cube = "".join(cube_t)
+        if not cube_minterms(cube) <= onset:
+            continue
+        prime = True
+        for i, ch in enumerate(cube):
+            if ch == "-":
+                continue
+            relaxed = cube[:i] + "-" + cube[i + 1 :]
+            if cube_minterms(relaxed) <= onset:
+                prime = False
+                break
+        if prime:
+            primes.add(cube)
+    return primes
+
+
+def essential_primes(onset: set[int], primes: set[str]) -> set[str]:
+    ess = set()
+    for m in onset:
+        covering = [p for p in primes if cube_covers(p, m)]
+        if len(covering) == 1:
+            ess.add(covering[0])
+    return ess
+
+
+def filter_onset(standardized: dict) -> tuple[set[int], int]:
+    conditions = _extract_conditions(standardized)
+    n = len(conditions)
+    onset = set()
+    for row in range(1 << n):
+        bits = [(row >> i) & 1 for i in range(n)]
+        if _eval_filter(standardized, bits, [0]):
+            onset.add(row)
+    return onset, n
+
+
+# ---------------------------------------------------------------------------
+# Goldens: (filter DSL, expected canonical DNF, unique-cover expected?)
+# `unique` is VERIFIED by the property test, not trusted.
+# ---------------------------------------------------------------------------
+
+GOLDENS = {
+    "or2": (
+        {"or": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]},
+        [[eq("a", 1)], [eq("b", 2)]],
+        True,
+    ),
+    "and2": (
+        {"and": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]},
+        [[eq("a", 1), eq("b", 2)]],
+        True,
+    ),
+    "or_of_ands": (
+        {
+            "or": [
+                {"and": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]},
+                {"and": [{"equals": {"c": 3}}, {"equals": {"d": 4}}]},
+            ]
+        },
+        [[eq("c", 3), eq("d", 4)], [eq("a", 1), eq("b", 2)]],
+        True,
+    ),
+    "not_and": (
+        {"not": {"and": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]}},
+        [[eq("a", 1, True)], [eq("b", 2, True)]],
+        True,
+    ),
+    "not_or": (
+        {"not": {"or": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]}},
+        [[eq("a", 1, True), eq("b", 2, True)]],
+        True,
+    ),
+    # `a` occurs twice -> two truth variables (reference extracts per
+    # occurrence, canonical.ts:195-215); both primes essential, both kept:
+    # the redundant [[a,b]] clause survives in the reference too.
+    "absorption": (
+        {
+            "or": [
+                {"equals": {"a": 1}},
+                {"and": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]},
+            ]
+        },
+        [[eq("a", 1)], [eq("a", 1), eq("b", 2)]],
+        True,
+    ),
+    "majority": (
+        {
+            "or": [
+                {"and": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]},
+                {"and": [{"equals": {"a": 1}}, {"equals": {"c": 3}}]},
+                {"and": [{"equals": {"b": 2}}, {"equals": {"c": 3}}]},
+            ]
+        },
+        [
+            [eq("b", 2), eq("c", 3)],
+            [eq("a", 1), eq("c", 3)],
+            [eq("a", 1), eq("b", 2)],
+        ],
+        True,
+    ),
+    # `in` rewrites to a leaf or-group = ONE truth variable; expansion is
+    # the cartesian-product path (canonical.ts:107-118).
+    "in_and": (
+        {"and": [{"in": {"a": ["x", "y"]}}, {"equals": {"b": 2}}]},
+        [
+            [eq("b", 2), eq("a", "x")],
+            [eq("b", 2), eq("a", "y")],
+        ],
+        True,
+    ),
+    "not_in": (
+        {"not": {"in": {"a": ["x", "y"]}}},
+        [[eq("a", "x", True), eq("a", "y", True)]],
+        True,
+    ),
+    "range_or": (
+        {"or": [{"range": {"x": {"gt": 10}}}, {"equals": {"y": 5}}]},
+        [
+            [{"range": {"x": {"gt": 10}}, "not": False}],
+            [eq("y", 5)],
+        ],
+        True,
+    ),
+    "deep_not": (
+        {
+            "not": {
+                "or": [
+                    {"and": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]},
+                    {"exists": "c"},
+                ]
+            }
+        },
+        [
+            [eq("a", 1, True), {"exists": ex("c"), "not": True}],
+            [eq("b", 2, True), {"exists": ex("c"), "not": True}],
+        ],
+        True,
+    ),
+    # First clause is an anti-tautology (foo===bar && foo===baz) -> pruned
+    # by _removeImpossiblePredicates AFTER minimization, as in the reference.
+    "impossible_or": (
+        {
+            "or": [
+                {"and": [{"equals": {"foo": "bar"}}, {"equals": {"foo": "baz"}}]},
+                {"equals": {"qux": 1}},
+            ]
+        },
+        [[eq("qux", 1)]],
+        True,
+    ),
+    # A or not A over two occurrences: two variables, both cubes kept
+    # (condition-level tautology is NOT collapsed -- reference behavior).
+    "taut_halves": (
+        {"or": [{"equals": {"a": 1}}, {"not": {"equals": {"a": 1}}}]},
+        [[eq("a", 1)], [eq("a", 1, True)]],
+        True,
+    ),
+    # XOR via duplicated conditions: minimized over 4 variables, then the
+    # contradictory (a && !a) combinations die in impossible-pruning.
+    "xor_dup": (
+        {
+            "and": [
+                {"or": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]},
+                {"not": {"and": [{"equals": {"a": 1}}, {"equals": {"b": 2}}]}},
+            ]
+        },
+        [
+            [eq("a", 1), eq("b", 2, True)],
+            [eq("b", 2), eq("a", 1, True)],
+        ],
+        True,  # even with duplicated variables, all primes are essential
+    ),
+    "bool_kw": (
+        {
+            "bool": {
+                "must": [{"equals": {"a": 1}}],
+                "should": [{"equals": {"b": 2}}, {"equals": {"c": 3}}],
+                "must_not": [{"equals": {"d": 4}}],
+            }
+        },
+        [
+            [eq("a", 1), eq("d", 4, True), eq("b", 2)],
+            [eq("a", 1), eq("d", 4, True), eq("c", 3)],
+        ],
+        True,
+    ),
+    "nested3": (
+        {
+            "or": [
+                {
+                    "and": [
+                        {"equals": {"a": 1}},
+                        {"or": [{"equals": {"b": 2}}, {"equals": {"c": 3}}]},
+                    ]
+                },
+                {"equals": {"d": 4}},
+            ]
+        },
+        [
+            [eq("d", 4)],
+            [eq("a", 1), eq("b", 2)],
+            [eq("a", 1), eq("c", 3)],
+        ],
+        True,
+    ),
+    "exists_mix": (
+        {
+            "and": [
+                {"exists": "a"},
+                {"not": {"exists": "b"}},
+                {"equals": {"c": 3}},
+            ]
+        },
+        [
+            [
+                eq("c", 3),
+                {"exists": ex("a"), "not": False},
+                {"exists": ex("b"), "not": True},
+            ]
+        ],
+        True,
+    ),
+    "ids_or": (
+        {"or": [{"ids": {"values": ["i1", "i2"]}}, {"equals": {"z": 9}}]},
+        [
+            [eq("_id", "i1")],
+            [eq("_id", "i2")],
+            [eq("z", 9)],
+        ],
+        True,
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def transformer():
+    return Transformer()
+
+
+class TestGoldenDNF:
+    """Exact canonical DNF pinned for every multi-condition golden."""
+
+    @pytest.mark.parametrize("name", sorted(GOLDENS))
+    def test_golden(self, transformer, name):
+        filters, expected, _ = GOLDENS[name]
+        assert transformer.normalize(filters).dnf == expected
+
+    @pytest.mark.parametrize("name", sorted(GOLDENS))
+    def test_filter_id_stable(self, transformer, name):
+        """Same filter normalized twice (fresh Transformer) -> same id."""
+        filters, _, _ = GOLDENS[name]
+        a = transformer.normalize(filters).filter_id
+        b = Transformer().normalize(filters).filter_id
+        assert a == b
+
+
+class TestEspressoSetParity:
+    """Prove cube-set identity with espresso where provable.
+
+    For each golden: recompute the ON-set exactly as the reference does
+    (full truth table over extracted conditions), enumerate ALL prime
+    implicants independently, and check that the minimizer's cover is
+    (a) equivalent, (b) all-prime, (c) irredundant -- the invariants
+    espresso guarantees -- and (d) where essentials alone cover the ON-set,
+    EQUAL to the essential set: the unique irredundant prime cover that
+    espresso must also emit.
+    """
+
+    @pytest.mark.parametrize("name", sorted(GOLDENS))
+    def test_cover_properties(self, transformer, name):
+        filters, _, unique_expected = GOLDENS[name]
+        standardized = transformer.standardize(filters)
+        onset, n = filter_onset(standardized)
+        assert onset, f"{name}: degenerate always-false filter"
+        if n > 6:
+            pytest.skip("brute prime enumeration capped at n=6")
+
+        cubes = _qm_minimize(set(onset), n)
+        covered = set().union(*(cube_minterms(c) for c in cubes))
+        assert covered == onset, f"{name}: cover != ON-set"
+
+        primes = all_primes(onset, n)
+        assert set(cubes) <= primes, f"{name}: non-prime cube emitted"
+
+        for c in cubes:
+            rest = set().union(*(cube_minterms(x) for x in cubes if x != c)) if len(cubes) > 1 else set()
+            assert rest != onset, f"{name}: cube {c} is redundant"
+
+        ess = essential_primes(onset, primes)
+        ess_covered = set().union(*(cube_minterms(c) for c in ess)) if ess else set()
+        unique_cover = ess_covered == onset
+        if unique_expected is True:
+            assert unique_cover, f"{name}: expected provably-unique cover"
+        if unique_cover:
+            # Unique irredundant prime cover: espresso MUST emit this set.
+            assert set(cubes) == ess, f"{name}: diverges from the unique cover"
+
+    def test_unique_cover_count(self, transformer):
+        """At least 15 goldens sit in the proven-parity regime."""
+        proven = 0
+        for name, (filters, _, _) in GOLDENS.items():
+            standardized = transformer.standardize(filters)
+            onset, n = filter_onset(standardized)
+            if n > 6:
+                continue
+            primes = all_primes(onset, n)
+            ess = essential_primes(onset, primes)
+            ess_cov = set().union(*(cube_minterms(c) for c in ess)) if ess else set()
+            if ess_cov == onset:
+                proven += 1
+        assert proven == len(GOLDENS), f"only {proven} goldens have a provably unique cover"
+
+
+class TestCyclicCoverDivergencePinned:
+    """The exact divergence class vs espresso, pinned.
+
+    f = sum m(0,1,2,5,6,7) over 3 variables is the classic cyclic cover: six
+    primes, ZERO essential primes, and exactly two distinct minimum covers
+    of three cubes. Espresso picks one by its reduction heuristics; we pick
+    deterministically via branch-and-bound first-found + sorted output.
+    Either choice is a minimal irredundant prime cover of the same function;
+    filter IDs for such filters are stable within each engine but not
+    guaranteed equal across engines. Documented in SURVEY section 8.
+    """
+
+    ONSET = {0, 1, 2, 5, 6, 7}
+
+    def test_no_essentials(self):
+        primes = all_primes(self.ONSET, 3)
+        assert len(primes) == 6
+        assert essential_primes(self.ONSET, primes) == set()
+
+    def test_our_pick_is_pinned_and_minimal(self):
+        cubes = _qm_minimize(set(self.ONSET), 3)
+        assert cubes == ["-00", "01-", "1-1"]  # frozen deterministic choice
+        assert set().union(*(cube_minterms(c) for c in cubes)) == self.ONSET
+        assert len(cubes) == 3  # minimum possible: 6 minterms, 2 per prime
+
+    def test_other_minimum_cover_exists(self):
+        """The divergence is real: more than one 3-cube minimum cover exists."""
+        primes = sorted(all_primes(self.ONSET, 3))
+        covers3 = [
+            combo
+            for combo in itertools.combinations(primes, 3)
+            if set().union(*(cube_minterms(c) for c in combo)) == self.ONSET
+        ]
+        assert len(covers3) >= 2  # multiple minimum covers -> genuine ambiguity
+        assert tuple(_qm_minimize(set(self.ONSET), 3)) in {
+            tuple(sorted(c)) for c in covers3
+        }
+
+
+class TestExactCoverBeatsGreedy:
+    """The exact branch-and-bound finds minimum covers greedy can miss."""
+
+    def test_exact_on_random_tables(self):
+        import random
+
+        rng = random.Random(0xC0FFEE)
+        for _ in range(200):
+            n = rng.randint(2, 5)
+            onset = {m for m in range(1 << n) if rng.random() < 0.45}
+            if not onset or len(onset) == (1 << n):
+                continue
+            cubes = _qm_minimize(set(onset), n)
+            covered = set().union(*(cube_minterms(c) for c in cubes))
+            assert covered == onset
+            primes = all_primes(onset, n)
+            assert set(cubes) <= primes
+            # irredundant: no cube removable
+            for c in cubes:
+                rest = (
+                    set().union(*(cube_minterms(x) for x in cubes if x != c))
+                    if len(cubes) > 1
+                    else set()
+                )
+                assert rest != onset
+            # exact minimality vs brute-force minimum cover size
+            found = None
+            sp = sorted(primes)
+            for k in range(1, len(cubes) + 1):
+                for combo in itertools.combinations(sp, k):
+                    if set().union(*(cube_minterms(c) for c in combo)) == onset:
+                        found = k
+                        break
+                if found:
+                    break
+            assert found == len(cubes), f"non-minimal cover for onset={sorted(onset)}"
