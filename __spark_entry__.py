@@ -306,6 +306,14 @@ def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs)
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-banded candidate pairs (capped buckets). Oracle:
+    simhash_pairs_sql — identical signatures, banding, cap, bit_count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.simhash(docs)
+    return dedup.simhash_candidate_pairs(sigs)
+
+
 def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = dedup.minhash_signatures(docs, num_perm=16)
@@ -416,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash16": _q_minhash16,
         "simhash64": _q_simhash64,
+        "simhash_pairs": _q_simhash_pairs,
         "lsh_pairs": _q_lsh_pairs,
         "dedup_near": _q_dedup_near,
         "tokstats": _q_tokstats,
@@ -473,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.exact_groups_sql("documents"),
         "minhash16": dedup.minhash_signatures_sql("documents", num_perm=16),
         "simhash64": dedup.simhash_sql("documents"),
+        "simhash_pairs": dedup.simhash_pairs_sql("documents"),
         "lsh_pairs": dedup.lsh_pairs_sql("documents"),
         "dedup_near": dedup.near_clusters_sql("documents"),
         "tokstats": text.token_stats_sql("documents"),

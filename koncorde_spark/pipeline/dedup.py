@@ -623,9 +623,29 @@ def simhash_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> s
     """
 
 
-def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+SIMHASH_BUCKET_CAP = 64  # same role as LSH_BUCKET_CAP: degenerate-bucket guard
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
     """Band the 60-bit simhash into 4×15-bit chunks; by pigeonhole any pair
-    with Hamming ≤ 3 collides in ≥1 chunk. Verify with bit_count."""
+    with Hamming ≤ 3 collides in ≥1 chunk. Verify with bit_count.
+
+    Each chunk has only 2^15 distinct values, so even benign corpora put
+    Θ(N²/2^15) pairs through an uncapped within-chunk join (~3·10^13
+    candidates at 10^9 docs) and identical-boilerplate corpora are strictly
+    worse. Buckets larger than ``bucket_cap`` therefore emit only the
+    deterministic star pattern — the bucket-min id paired with every other
+    member, O(N) pairs — exactly like ``lsh_candidate_pairs``. Recall note:
+    as with the LSH cap, spoke↔spoke pairs of an over-cap bucket only
+    survive if some ≤-cap chunk bucket also contains them; within-cap
+    behavior and the Hamming filter are unchanged, and the cap rule is
+    reproduced verbatim by the DuckDB twin (``simhash_pairs_sql``).
+    """
     chunks = [
         F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias(f"c{i}")
         for i in range(4)
@@ -633,8 +653,15 @@ def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming
     e = sigs.select(id_col, "simhash", *chunks)
     out = None
     for i in range(4):
-        l, r = e.alias("l"), e.alias("r")
-        p = l.join(
+        w = Window.partitionBy(f"c{i}")
+        # min over (id, simhash) struct = bucket-min id plus ITS signature,
+        # so star edges can compute hamming without a hub re-join.
+        stats = e.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+            "m", F.min(F.struct(F.col(id_col), F.col("simhash"))).over(w)
+        )
+        small = stats.where(F.col("n") <= bucket_cap)
+        l, r = small.alias("l"), small.alias("r")
+        all_pairs = l.join(
             r,
             (F.col(f"l.c{i}") == F.col(f"r.c{i}"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
@@ -645,5 +672,61 @@ def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).alias("hamming"),
         )
+        star_pairs = (
+            stats.where(
+                (F.col("n") > bucket_cap) & (F.col(id_col) != F.col(f"m.{id_col}"))
+            )
+            .select(
+                F.col(f"m.{id_col}").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.bit_count(
+                    F.col("m.simhash").bitwiseXOR(F.col("simhash"))
+                ).alias("hamming"),
+            )
+        )
+        p = all_pairs.unionByName(star_pairs)
         out = p if out is None else out.unionByName(p)
     return out.where(F.col("hamming") <= max_hamming).distinct()
+
+
+def simhash_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+) -> str:
+    """DuckDB twin of simhash + simhash_candidate_pairs: identical 60-bit
+    signatures (simhash_sql), identical 4×15-bit banding, identical
+    bucket-cap/star rules, identical bit_count Hamming filter — the pair
+    set matches the Spark query exactly."""
+    sig_sql = simhash_sql(table, text_col, id_col)
+    chunk_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, simhash, {i} AS chunk, "
+        f"(simhash >> {15 * i}) & 32767 AS c FROM s"
+        for i in range(4)
+    )
+    return f"""
+    WITH s AS ({sig_sql}),
+    chunks AS ({chunk_rows}),
+    stats AS (
+      SELECT {id_col}, simhash, chunk, c,
+             count(*) OVER (PARTITION BY chunk, c) AS n,
+             min({id_col}) OVER (PARTITION BY chunk, c) AS mid,
+             min_by(simhash, {id_col}) OVER (PARTITION BY chunk, c) AS msig
+      FROM chunks
+    ),
+    cand AS (
+      SELECT l.{id_col} AS id_a, r.{id_col} AS id_b,
+             bit_count(xor(l.simhash, r.simhash)) AS hamming
+      FROM stats l JOIN stats r
+        ON l.chunk = r.chunk AND l.c = r.c AND l.{id_col} < r.{id_col}
+      WHERE l.n <= {bucket_cap} AND r.n <= {bucket_cap}
+      UNION
+      SELECT mid AS id_a, {id_col} AS id_b,
+             bit_count(xor(msig, simhash)) AS hamming
+      FROM stats WHERE n > {bucket_cap} AND {id_col} <> mid
+    )
+    SELECT DISTINCT id_a, id_b, hamming
+    FROM cand WHERE hamming <= {max_hamming}
+    """
