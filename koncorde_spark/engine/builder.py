@@ -129,7 +129,6 @@ def compile_index(
         elif kw == "notequals":
             field = next(iter(spec))
             _merge_vmap(ci.notequals.setdefault(field, {}), vkey(spec[field]), sfs)
-            ci.notequals_all[field] = _concat(ci.notequals_all.get(field), sfs)
             ci.fields_needed.add(field)
         elif kw == "exists":
             ne: NormalizedExists = spec

@@ -342,7 +342,6 @@ class CompiledIndex:
 
         self.equals: dict[str, dict[tuple, np.ndarray]] = {}
         self.notequals: dict[str, dict[tuple, np.ndarray]] = {}
-        self.notequals_all: dict[str, np.ndarray] = {}
         self.exists_sfs: dict[str, np.ndarray] = {}
         self.exists_values: dict[str, dict[tuple, np.ndarray]] = {}
         self.notexists_sfs: dict[str, np.ndarray] = {}
@@ -532,8 +531,11 @@ class CompiledIndex:
             )
             if s is None:
                 # absent column ≡ null: matches every notequals except
-                # the notequals-null condition itself (matchNotEquals:
-                # document[key] !== null → no match; to_sql: IS NOT NULL)
+                # the notequals-null condition itself. Deliberate divergence
+                # from the reference (where undefined !== null is TRUE, so a
+                # MISSING field matches notequals-null): a tabular engine
+                # conflates missing/null, and we follow the SQL-twin
+                # semantics (to_sql: IS NOT NULL) on both sides.
                 emit_x(np.arange(batch.n, dtype=np.int64), na_sfs)
                 continue
             isna = s.isna().to_numpy()

@@ -598,9 +598,14 @@ def build_index(
             F.sum("df").alias("df")
         ).write.mode("overwrite").parquet(terms_path)
     metrics["terms_sec"] = time.time() - t0
+    # vocabulary size recorded in meta so the query tier can decide its
+    # driver-side-terms-cache policy without firing a count() job on the
+    # first query (VERDICT r2 nit)
+    n_terms = spark.read.parquet(terms_path).count()
 
     meta = {
         "n_docs": n_docs,
+        "n_terms": n_terms,
         "avgdl": avgdl,
         "k1": config.k1,
         "b": config.b,

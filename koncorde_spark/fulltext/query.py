@@ -59,7 +59,12 @@ class Bm25Index:
 
     def _df_for(self, q_terms: list[str]) -> dict[str, int]:
         if self._terms_local is None:
-            if self.terms.count() <= self.TERMS_LOCAL_MAX:
+            # n_terms is carried in meta.json by the index build; fall back
+            # to one count() job for indexes built before it was recorded
+            n_terms = self.meta.get("n_terms")
+            if n_terms is None:
+                n_terms = self.terms.count()
+            if n_terms <= self.TERMS_LOCAL_MAX:
                 pdf = self.terms.toPandas()
                 self._terms_local = dict(
                     zip(pdf["term"].tolist(), pdf["df"].astype(int).tolist())

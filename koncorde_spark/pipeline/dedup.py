@@ -298,10 +298,14 @@ def lsh_candidate_pairs(
     corpus with millions of identical boilerplate docs would otherwise
     produce O(N²) pairs in one bucket) are capped: buckets larger than
     ``bucket_cap`` emit only the star pattern (bucket-min id paired with
-    every other member) — O(N) pairs that still keep the bucket connected
-    for the connected-components step, deterministically (no sampling), so
-    the DuckDB oracle reproduces the exact pair set. Null signatures
-    (docs too short to shingle) are excluded.
+    every other member) — O(N) pairs, deterministically (no sampling), so
+    the DuckDB oracle reproduces the exact pair set. Connectivity note:
+    the star keeps the bucket connected only PRE-threshold — the Jaccard
+    filter sits between candidates and clustering, so if the hub is
+    dissimilar to some spokes those edges drop and clusters that uncapped
+    all-pairs would join can split; capping trades recall in degenerate
+    buckets (engine and oracle stay consistent either way). Null
+    signatures (docs too short to shingle) are excluded.
     """
     rows_per_band = num_perm // bands
     band_cols = []

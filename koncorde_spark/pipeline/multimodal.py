@@ -1,12 +1,16 @@
-"""Multimodal column plumbing: opaque binary media + typed metadata.
+"""Multimodal columns: opaque binary media + typed metadata + REAL decode.
 
 Images/audio/video are carried as ``binary`` columns next to a typed
-metadata struct. The Spark-side plumbing — schema, partition sizing, UDF
-signature, Arrow batch shape — is real and tested; the actual decode step
-is STUBBED (this container has no image/audio libraries): by default
-``feature_extract`` computes a deterministic fake feature vector from the
-bytes' sha256, and ``decode=True`` raises NotImplementedError at the point
-where a real decoder (PIL/libav) would plug in.
+metadata struct. Decode is real, with no external dependencies
+(``media_codecs``: PNG/BMP/PPM images, PCM WAV audio, Y4M video — PIL is
+used as an import-guarded fallback for formats outside that matrix when
+present). ``feature_extract(decode=True)`` computes features from actual
+pixels/samples/frames; bytes outside the supported matrix raise a typed
+``UnsupportedMediaError`` naming the sniffed magic — never a silent fake.
+``decode=False`` (default) computes lineage-only features (sha256-seeded)
+for pipelines that only need dedup/provenance columns; that path is what
+the DuckDB driver oracle checks (media_features), since SQL cannot decode
+pixels.
 
 Scale notes: media bytes dominate row size — feature extraction uses
 mapInPandas so Arrow streams batches without materializing the whole
@@ -59,20 +63,32 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def synthetic_media_df(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    """Deterministic media table of REAL decodable payloads (PNG / PCM-WAV /
+    Y4M via media_codecs encoders) matching MEDIA_SCHEMA — so end-to-end
+    tests exercise the actual decoders, not just the plumbing."""
+    from . import media_codecs as mc
+
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_rows):
         kind = kinds[i % 3]
-        payload = rng.bytes(64 + int(rng.integers(0, 256)))
-        meta = {
-            "width": int(rng.integers(16, 4096)) if kind == "image" else None,
-            "height": int(rng.integers(16, 4096)) if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": int(rng.integers(1, 1000)) if kind == "video" else None,
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-        }
+        if kind == "image":
+            w, h = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+            payload = mc.encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None,
+                    "mime": "image/png"}
+        elif kind == "audio":
+            n = int(rng.integers(64, 2048))
+            payload = mc.encode_wav(rng.uniform(-0.8, 0.8, n), 16000)
+            meta = {"width": None, "height": None, "sample_rate": 16000,
+                    "n_frames": None, "mime": "audio/wav"}
+        else:
+            nf = int(rng.integers(1, 12))
+            frames = [rng.integers(0, 256, (16, 24), dtype=np.uint8) for _ in range(nf)]
+            payload = mc.encode_y4m(frames)
+            meta = {"width": 24, "height": 16, "sample_rate": None,
+                    "n_frames": nf, "mime": "video/x-yuv4mpeg"}
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -116,21 +132,70 @@ def media_features_sql(table: str) -> str:
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: sha256-seeded vector."""
+    """Deterministic lineage-only vector: sha256-seeded (decode=False path)."""
     h = hashlib.sha256(payload).digest()
     vals = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
     return (vals.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
+def _decoded_features(blob: bytes) -> np.ndarray:
+    """Real features from decoded media. Fixed FEATURE_DIM layout, leading
+    tag = modality (1 image / 2 audio / 3 video); zero-padded tail.
+
+    - image: [1, w, h, c, luma mean, luma std, 16-bin luma histogram
+      (density), per-channel means (≤4)]
+    - audio: [2, sample_rate, n_samples, n_channels, rms, zero-crossing
+      rate, 16 mean |rFFT| band magnitudes]
+    - video: [3, w, h, n_frames, luma mean/std over all frames, mean luma
+      of up to 16 evenly-sampled frames]
+    """
+    from . import media_codecs as mc
+
+    out = np.zeros(FEATURE_DIM, dtype=np.float64)
+    kind = mc.sniff(blob)  # raises UnsupportedMediaError outside the matrix
+    if kind in ("png", "bmp", "ppm", "pgm"):
+        arr = mc.decode_image(blob)
+        lum = mc.luma(arr)
+        hist = np.histogram(lum, bins=16, range=(0.0, 256.0))[0]
+        hist = hist / max(lum.size, 1)
+        ch_means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+        vals = [1, arr.shape[1], arr.shape[0], arr.shape[2], lum.mean(), lum.std()]
+        out[: len(vals)] = vals
+        out[6:22] = hist
+        out[22 : 22 + len(ch_means)] = ch_means[:4]
+    elif kind == "wav":
+        sr, x = mc.decode_wav(blob)
+        mono = x.mean(axis=1)
+        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+        vals = [2, sr, x.shape[0], x.shape[1], float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0, zcr]
+        out[: len(vals)] = vals
+        if len(mono):
+            mag = np.abs(np.fft.rfft(mono))
+            bands = np.array_split(mag, 16)
+            out[6:22] = [b.mean() if len(b) else 0.0 for b in bands]
+    elif kind == "y4m":
+        w, h, frames = mc.decode_y4m(blob)
+        stack = np.stack(frames).astype(np.float64) if frames else np.zeros((0, h, w))
+        vals = [3, w, h, len(frames), stack.mean() if len(frames) else 0.0, stack.std() if len(frames) else 0.0]
+        out[: len(vals)] = vals
+        if len(frames):
+            idx = np.linspace(0, len(frames) - 1, min(16, len(frames))).astype(int)
+            means = stack[idx].mean(axis=(1, 2))
+            out[6 : 6 + len(means)] = means
+    return out.astype(np.float32)
+
+
 def feature_extract(media: DataFrame, decode: bool = False) -> DataFrame:
-    """Extract per-media feature vectors via mapInPandas over Arrow batches."""
+    """Per-media feature vectors via mapInPandas over Arrow batches.
+
+    ``decode=True``: REAL decode (media_codecs matrix; raises
+    UnsupportedMediaError for bytes outside it — empty payloads included).
+    ``decode=False``: lineage-only features (sha/byte-length provenance),
+    the SQL-oracle-checkable path.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decode:
-            raise NotImplementedError(
-                "real media decode requires PIL/libav — not available in this "
-                "container; plug the decoder in here"
-            )
+        featurize = _decoded_features if decode else _fake_features
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -143,7 +208,7 @@ def feature_extract(media: DataFrame, decode: bool = False) -> DataFrame:
                     "kind": pdf["kind"],
                     "content_sha": [hashlib.sha256(b).hexdigest() for b in blobs],
                     "n_bytes": [len(b) for b in blobs],
-                    "features": [_fake_features(b).tolist() for b in blobs],
+                    "features": [featurize(b).tolist() for b in blobs],
                 }
             )
 
@@ -151,8 +216,8 @@ def feature_extract(media: DataFrame, decode: bool = False) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    index (decode stubbed — emits frame indexes + lineage, not pixels)."""
+    """Video frame sampling on metadata: one output row per sampled frame
+    index plus content lineage (no decode — pure Catalyst explode)."""
     return (
         media.where(F.col("kind") == "video")
         .select(
@@ -162,4 +227,41 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
             F.sha2(F.col("bytes"), 256).alias("content_sha"),
         )
+    )
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("luma_mean", T.FloatType()),
+        T.StructField("luma_std", T.FloatType()),
+    ]
+)
+
+
+def frame_sample_decoded(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling: decode Y4M payloads and emit one row per
+    sampled frame with actual luma statistics (mapInPandas over Arrow
+    batches; non-video rows are filtered out up front)."""
+    from . import media_codecs as mc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means, stds = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["bytes"]):
+                blob = b"" if blob is None else bytes(blob)
+                _w, _h, frames = mc.decode_y4m(blob)
+                for fi in range(0, len(frames), every_n):
+                    lum = frames[fi].astype(np.float64)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    means.append(lum.mean())
+                    stds.append(lum.std())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "luma_mean": means, "luma_std": stds}
+            )
+
+    return media.where(F.col("kind") == "video").select("media_id", "bytes").mapInPandas(
+        run, schema=FRAME_FEATURES_SCHEMA
     )

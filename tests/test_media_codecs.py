@@ -1,0 +1,147 @@
+"""media_codecs unit tests: round-trips, PNG filter coverage, sniffing.
+
+The PNG encoder only emits filter-0 scanlines, so the Sub/Up/Average/
+Paeth unfilter paths are exercised by FORWARD-FILTERING known pixels
+with the spec's reference equations (RFC 2083 §6) and asserting the
+decoder reconstructs the original exactly.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from koncorde_spark.pipeline import media_codecs as mc
+
+
+class TestRoundTrips:
+    @pytest.mark.parametrize("c", [1, 2, 3, 4])
+    def test_png(self, c):
+        rng = np.random.default_rng(c)
+        a = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
+        assert (mc.decode_png(mc.encode_png(a)) == a).all()
+
+    def test_png_gray_2d_input(self):
+        g = np.arange(45, dtype=np.uint8).reshape(5, 9)
+        assert (mc.decode_png(mc.encode_png(g))[:, :, 0] == g).all()
+
+    def test_bmp_odd_width_padding(self):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+        assert (mc.decode_bmp(mc.encode_bmp(a)) == a).all()
+
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_ppm_pgm(self, c):
+        rng = np.random.default_rng(c)
+        a = rng.integers(0, 256, (6, 8, c), dtype=np.uint8)
+        assert (mc.decode_ppm(mc.encode_ppm(a)) == a).all()
+
+    def test_wav_mono_and_stereo(self):
+        x = (np.sin(np.linspace(0, 40, 1600)) * 0.5).astype(np.float32)
+        sr, y = mc.decode_wav(mc.encode_wav(x, 8000))
+        assert sr == 8000 and y.shape == (1600, 1)
+        assert np.abs(y[:, 0] - x).max() < 1e-3
+        sr, y2 = mc.decode_wav(mc.encode_wav(np.stack([x, -x], 1), 44100))
+        assert sr == 44100 and y2.shape == (1600, 2)
+
+    def test_y4m_frames(self):
+        rng = np.random.default_rng(2)
+        frames = [rng.integers(0, 256, (12, 16), dtype=np.uint8) for _ in range(4)]
+        w, h, got = mc.decode_y4m(mc.encode_y4m(frames))
+        assert (w, h, len(got)) == (16, 12, 4)
+        assert all((a == b).all() for a, b in zip(frames, got))
+
+
+def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter `arr` per the PNG spec with the given per-row filter
+    types and assemble a valid PNG (test-side reference implementation)."""
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    a32 = arr.astype(np.int32)
+    stride = w * c
+    flat = a32.reshape(h, stride)
+    raw = bytearray()
+    for y, f in enumerate(filters):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(c, dtype=np.int32), row[:-c]])
+        ul = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) & 0xFF
+        elif f == 2:
+            enc = (row - prev) & 0xFF
+        elif f == 3:
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (row - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestPngFilters:
+    @pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    def test_single_filter_type(self, f, c):
+        rng = np.random.default_rng(f * 10 + c)
+        arr = rng.integers(0, 256, (7, 9, c), dtype=np.uint8)
+        data = _png_with_filters(arr, [f] * 7)
+        assert (mc.decode_png(data) == arr).all()
+
+    def test_mixed_filters(self):
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+        data = _png_with_filters(arr, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+        assert (mc.decode_png(data) == arr).all()
+
+
+class TestContracts:
+    def test_sniff_rejects_unknown(self):
+        with pytest.raises(mc.UnsupportedMediaError, match="unsupported media magic"):
+            mc.sniff(b"\xff\xd8\xff\xe0jpeg")
+
+    def test_sniff_rejects_empty(self):
+        with pytest.raises(mc.UnsupportedMediaError):
+            mc.sniff(b"")
+
+    def test_png_variant_outside_matrix(self):
+        # 16-bit depth header
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+        def chunk(ctype, payload):
+            crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+            return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+        data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(b"\x00" * 26)
+        ) + chunk(b"IEND", b"")
+        with pytest.raises(mc.UnsupportedMediaError, match="outside matrix"):
+            mc.decode_png(data)
+
+    def test_resize_nearest(self):
+        arr = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        out = mc.resize_nearest(arr, 8, 4)
+        assert out.shape == (4, 8, 3)
+        assert (out[0, 0] == arr[0, 0]).all() and (out[-1, -1] == arr[-1, -1]).all()
+
+    def test_luma_bt601(self):
+        arr = np.zeros((1, 1, 3), dtype=np.uint8)
+        arr[0, 0] = [255, 0, 0]
+        assert abs(mc.luma(arr)[0, 0] - 0.299 * 255) < 1e-9

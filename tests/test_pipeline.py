@@ -315,9 +315,51 @@ class TestMultimodal:
         assert (f1["content_sha"].values == f2["content_sha"].values).all()
         assert all(len(v) == 32 for v in f1["features"])
 
-    def test_decode_stub_raises(self, spark):
-        media = synthetic_media_df(spark, n_rows=3)
-        with pytest.raises(Exception):
+    def test_real_decode_end_to_end(self, spark):
+        """decode=True decodes the REAL payloads (PNG/WAV/Y4M) and the
+        features carry actual image/audio/video measurements."""
+        media = synthetic_media_df(spark, n_rows=9)
+        out = feature_extract(media, decode=True).toPandas().set_index("media_id")
+        meta = media.select("media_id", "kind", "meta.*").toPandas().set_index("media_id")
+        for mid, row in out.iterrows():
+            f = row["features"]
+            kind = meta.loc[mid, "kind"]
+            if kind == "image":
+                assert f[0] == 1.0
+                assert f[1] == meta.loc[mid, "width"] and f[2] == meta.loc[mid, "height"]
+                assert 0.0 <= f[4] <= 255.0  # luma mean from real pixels
+                assert abs(sum(f[6:22]) - 1.0) < 1e-5  # histogram density
+            elif kind == "audio":
+                assert f[0] == 2.0 and f[1] == 16000.0
+                assert f[4] > 0.0  # rms of real samples
+            else:
+                assert f[0] == 3.0
+                assert f[3] == meta.loc[mid, "n_frames"]
+
+    def test_decoded_image_features_match_numpy(self, spark):
+        """Solid-color PNG: decoded luma mean must equal the exact pixel
+        value — proves real pixels flow into features."""
+        from koncorde_spark.pipeline import media_codecs as mc
+
+        arr = np.full((10, 20, 3), 200, dtype=np.uint8)
+        pdf = [(0, "image", bytearray(mc.encode_png(arr)),
+                {"width": 20, "height": 10, "sample_rate": None,
+                 "n_frames": None, "mime": "image/png"})]
+        from koncorde_spark.pipeline.multimodal import MEDIA_SCHEMA
+        media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+        f = feature_extract(media, decode=True).toPandas()["features"][0]
+        assert abs(f[4] - 200.0) < 1e-4 and abs(f[5]) < 1e-6  # mean, std
+
+    def test_unsupported_bytes_raise_typed_error(self, spark):
+        """Bytes outside the decode matrix fail loudly with the sniffed
+        magic in the message — never a silent fake vector."""
+        from koncorde_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+        pdf = [(0, "image", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish"),
+                {"width": None, "height": None, "sample_rate": None,
+                 "n_frames": None, "mime": "image/jpeg"})]
+        media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+        with pytest.raises(Exception, match="unsupported media magic"):
             feature_extract(media, decode=True).collect()
 
     def test_frame_sample(self, spark):
@@ -325,6 +367,28 @@ class TestMultimodal:
         fs = frame_sample(media, every_n=100).toPandas()
         vids = media.where(F.col("kind") == "video").count()
         assert fs["media_id"].nunique() == vids
+
+    def test_frame_sample_decoded(self, spark):
+        """Real frame extraction: per-sampled-frame luma stats equal the
+        numpy stats of the encoded frames."""
+        from koncorde_spark.pipeline import media_codecs as mc
+        from koncorde_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            frame_sample_decoded,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (8, 12), dtype=np.uint8) for _ in range(7)]
+        pdf = [(0, "video", bytearray(mc.encode_y4m(frames)),
+                {"width": 12, "height": 8, "sample_rate": None,
+                 "n_frames": 7, "mime": "video/x-yuv4mpeg"})]
+        media = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+        got = frame_sample_decoded(media, every_n=3).toPandas().sort_values("frame_idx")
+        assert got["frame_idx"].tolist() == [0, 3, 6]
+        for _, r in got.iterrows():
+            lum = frames[int(r["frame_idx"])].astype(np.float64)
+            assert abs(r["luma_mean"] - lum.mean()) < 1e-3
+            assert abs(r["luma_std"] - lum.std()) < 1e-3
 
 
 class TestEmbeddingNearDup:
