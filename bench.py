@@ -217,8 +217,28 @@ def main():
         "corpus_rows": corpus_rows,
         **extra,
     }
-    print(json.dumps(out))
     spark.stop()
+
+    # --- scaling evidence (hardened protocol, VERDICT r2 #2) --------------
+    # Runs AFTER spark.stop(): sessions must never overlap while timing.
+    # Compact single-pass version of tools/scaling.py: local[8]/[16]/[32]
+    # index builds bracketed by Spark-free bandwidth probes; raw efficiency
+    # AND the same-session box ceiling both ride in BENCH_r{N}.json.
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import scaling as S
+
+        scaling_rows = int(os.environ.get("BENCH_SCALING_ROWS", "48000"))
+        sc = S.run_protocol(scaling_rows, base_n=8, repeats=1, with_probe=True)
+        out["scaling"] = sc
+        out["efficiency"] = sc["scaling_efficiency_N_to_4N"]
+        out["bandwidth_probe"] = {
+            "before": sc["bandwidth_probe_before"],
+            "after": sc["bandwidth_probe_after"],
+        }
+        out["stage_timings"] = sc["stage_timings"]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

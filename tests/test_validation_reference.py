@@ -89,6 +89,77 @@ def test_rejected(k, filt):
         k.register(filt)
 
 
+# (filter, exact error message) — extracted verbatim from the reference's
+# #validation sections (test/keywords/*.test.js + test/operands/*.test.js,
+# `should(...).throw({message: ...})` assertions). Our messages must match
+# the reference's BYTE-FOR-BYTE.
+EXACT_MESSAGES = [
+    ({"equals": ["foo", "bar"]}, '"equals": must be an object'),
+    ({"equals": {}}, '"equals": expected object to have exactly 1 property, got 0'),
+    ({"equals": {"foo": "foo", "bar": "bar"}}, '"equals": expected object to have exactly 1 property, got 2'),
+    ({"equals": {"foo": ["bar"]}}, '"equals.foo": must either be a string, a number, a boolean, or null'),
+    ({"equals": {"foo": {}}}, '"equals.foo": must either be a string, a number, a boolean, or null'),
+    ({"exists": {}}, '"exists": expected object to have exactly 1 property, got 0'),
+    ({"exists": {"field": "foo", "bar": "bar"}}, '"exists": expected object to have exactly 1 property, got 2'),
+    ({"exists": {"foo": "bar"}}, '"exists": the property "field" is missing'),
+    ({"exists": {"field": ["bar"]}}, '"exists.field": must be a string'),
+    ({"exists": {"field": 42}}, '"exists.field": must be a string'),
+    ({"exists": {"field": None}}, '"exists.field": must be a string'),
+    ({"exists": {"field": True}}, '"exists.field": must be a string'),
+    ({"exists": {"field": ""}}, '"exists.field": cannot be empty'),
+    ({"exists": ""}, '"exists": cannot test empty field name'),
+    ({"exists": "foo['bar']"}, '"exists": contains an invalid array value ("\'bar\'")'),
+    ({"ids": {}}, '"ids": expected object to have exactly 1 property, got 0'),
+    ({"ids": {"foo": ["foo"]}}, '"ids": the property "values" is missing'),
+    ({"ids": {"values": ["foo"], "foo": ["foo"]}}, '"ids": expected object to have exactly 1 property, got 2'),
+    ({"ids": {"values": []}}, '"ids.values": cannot be empty'),
+    ({"ids": {"values": "foo"}}, '"ids.values": must be an array'),
+    ({"ids": {"values": ["foo", "bar", 42, "baz"]}}, '"ids.values": must hold only values of type "string"'),
+    ({"in": {}}, '"in": expected object to have exactly 1 property, got 0'),
+    ({"in": {"bar": ["foo"], "foo": ["foo"]}}, '"in": expected object to have exactly 1 property, got 2'),
+    ({"in": {"foo": []}}, '"in.foo": cannot be empty'),
+    ({"in": {"foo": "foo"}}, '"in.foo": must be an array'),
+    ({"in": {"foo": ["foo", "bar", 42, "baz"]}}, '"in.foo": must hold only values of type "string"'),
+    ({"match": ["foo", "bar"]}, '"match": must be an object'),
+    ({"match": {}}, '"match": must be a non-empty object'),
+    ({"range": {}}, '"range": expected object to have exactly 1 property, got 0'),
+    ({"range": {"foo": "foo", "bar": "bar"}}, '"range": expected object to have exactly 1 property, got 2'),
+    ({"range": {"foo": {}}}, '"range.foo": must be a non-empty object'),
+    ({"range": {"foo": {"gt": 42, "lt": 113, "bar": "baz"}}}, '"range.foo": "bar" is not an allowed attribute (allowed: gt,gte,lt,lte)'),
+    ({"range": {"foo": {"gt": "42", "lt": 113}}}, '"range.foo.gt": must be a number'),
+    ({"range": {"foo": {"gt": 42, "gte": 13, "lt": 113}}}, '"range.foo": only 1 lower boundary allowed'),
+    ({"range": {"foo": {"gt": 42, "lt": 113, "lte": 200}}}, '"range.foo": only 1 upper boundary allowed'),
+    ({"range": {"foo": {"lt": 42, "gt": 200}}}, '"range.foo": lower boundary must be strictly inferior to the upper one'),
+    ({"regexp": {}}, '"regexp": expected object to have exactly 1 property, got 0'),
+    ({"regexp": {"foo": {}}}, '"regexp.foo": must be a non-empty object'),
+    ({"regexp": {"foo": {"value": "v", "bar": 1}}}, '"regexp.foo": "bar" is not an allowed attribute (allowed: flags,value)'),
+    ({"regexp": {"foo": {"flags": "ig"}}}, '"regexp.foo": the property "value" is missing'),
+    ({"regexp": {"foo": {"value": "foo", "flags": 42}}}, '"regexp.foo.flags": must be a string'),
+    ({"select": ["foo", "bar"]}, '"select": must be an object'),
+    ({"select": {}}, '"select": expected object to have exactly 3 properties, got 0'),
+    ({"select": {"foo": "bar", "index": 0, "query": {"equals": {"value": "bar"}}}}, '"select.field": must be a string'),
+    ({"select": {"foo": "bar", "field": "foo", "query": {"equals": {"value": "bar"}}}}, '"select.index": must be an integer'),
+    ({"select": {"foo": "bar", "field": "foo", "index": 0}}, '"select.query": must be an object'),
+    ({"select": {"field": 42, "index": 0, "query": {"equals": {"value": "bar"}}}}, '"select.field": must be a string'),
+    ({"select": {"field": "foo", "index": 1.2, "query": {"equals": {"value": "bar"}}}}, '"select.index": cannot have decimals, must be an integer'),
+    ({"select": {"field": "foo", "index": 0, "query": {"yeet": {"foo": "bar"}}}}, '"select.query.yeet": unknown keyword'),
+    ({"and": []}, '"and": cannot be empty'),
+    ({"and": {"foo": "bar"}}, '"and": must be an array'),
+    ({"bool": {}}, '"bool": must be a non-empty object'),
+    ({"or": []}, '"or": cannot be empty'),
+    ({"or": {"foo": "bar"}}, '"or": must be an array'),
+]
+
+
+@pytest.mark.parametrize(
+    "filt,message", EXACT_MESSAGES, ids=[m for _, m in EXACT_MESSAGES]
+)
+def test_exact_reference_error_message(k, filt, message):
+    with pytest.raises(KoncordeParseError) as exc:
+        k.validate(filt)
+    assert str(exc.value) == message
+
+
 ACCEPTED = [
     {"equals": {"a": "str"}},
     {"equals": {"a": 1.5}},

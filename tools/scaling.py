@@ -84,30 +84,91 @@ def run_subprocess(cpus: int, n_rows: int, pinned: bool) -> dict:
     return json.loads(lines[-1])
 
 
+def run_protocol(
+    n_rows: int,
+    base_n: int = 8,
+    repeats: int = 2,
+    pinned: bool = False,
+    with_probe: bool = True,
+) -> dict:
+    """Full hardened protocol (VERDICT r2 'Next round' #2).
+
+    - Spark-free memory-bandwidth probes (tools/bwprobe.py) run BEFORE and
+      AFTER the Spark runs at base_n/2N/4N concurrency, so every efficiency
+      number ships with the box health observed in the same session. The
+      probe is the scaling CEILING of this shared-bandwidth VM: a Spark job
+      cannot scale better than concurrent plain-Python processes do.
+    - N→2N is reported alongside N→4N (less bandwidth-coupled).
+    - Per-stage timings (docs/postings/terms) surfaced per config.
+    - Raw efficiency AND the probe-normalized ratio (raw / box ceiling)
+      are both reported; the raw number is what a calm box would gate on,
+      the normalized one detects box degradation rather than job defects.
+    """
+    from bwprobe import probe  # tools/ sibling
+
+    mid_n, hi_n = base_n * 2, base_n * 4
+    out: dict = {"n_rows": n_rows, "pinned": pinned}
+    if with_probe:
+        out["bandwidth_probe_before"] = {
+            f"p{n}": probe(n) for n in (base_n, mid_n, hi_n)
+        }
+    order = (base_n, mid_n, hi_n) * repeats  # interleaved best-of-k
+    results: dict[int, dict] = {}
+    for cpus in order:
+        time.sleep(10)
+        r = run_subprocess(cpus, n_rows, pinned)
+        if cpus not in results or r["sec"] < results[cpus]["sec"]:
+            results[cpus] = r
+    if with_probe:
+        out["bandwidth_probe_after"] = {
+            f"p{n}": probe(n) for n in (base_n, hi_n)
+        }
+    r_lo, r_mid, r_hi = results[base_n], results[mid_n], results[hi_n]
+    out[f"local{base_n}"] = r_lo
+    out[f"local{mid_n}"] = r_mid
+    out[f"local{hi_n}"] = r_hi
+    out["stage_timings"] = {
+        f"local{n}": results[n].get("stages", {}) for n in (base_n, mid_n, hi_n)
+    }
+    eff4 = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / 4.0
+    eff2 = (r_mid["files_per_sec"] / r_lo["files_per_sec"]) / 2.0
+    out["scaling_efficiency_N_to_4N"] = round(eff4, 3)
+    out["scaling_efficiency_N_to_2N"] = round(eff2, 3)
+    if with_probe:
+        # box ceiling: max throughput ratio perfectly-parallel work could
+        # reach between the two concurrency levels, per the SAME-session
+        # probes (mean of before/after)
+        def _eff(n):
+            probes = [out["bandwidth_probe_before"][f"p{n}"]]
+            after = out.get("bandwidth_probe_after", {}).get(f"p{n}")
+            if after:
+                probes.append(after)
+            return sum(p["efficiency"] for p in probes) / len(probes)
+
+        e_lo, e_mid, e_hi = (_eff(n) for n in (base_n, mid_n, hi_n))
+        ceil4 = (hi_n * e_hi) / (base_n * e_lo) / 4.0
+        ceil2 = (mid_n * e_mid) / (base_n * e_lo) / 2.0
+        out["box_ceiling_N_to_4N"] = round(ceil4, 3)
+        out["box_ceiling_N_to_2N"] = round(ceil2, 3)
+        out["normalized_efficiency_N_to_4N"] = round(eff4 / ceil4, 3) if ceil4 else None
+        out["normalized_efficiency_N_to_2N"] = round(eff2 / ceil2, 3) if ceil2 else None
+    return out
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         print(json.dumps(run_single(int(sys.argv[2]), int(sys.argv[3]))))
         return
     args = [a for a in sys.argv[1:] if a != "--pinned"]
-    # default (driver methodology): UNPINNED local[8] vs local[32].
+    # default (driver methodology): UNPINNED local[8] vs local[16]/local[32].
     # --pinned restricts each run to exactly N physical cores — stricter,
     # but couples both configs to ONE memory bus, which a real N→4N
     # cluster doesn't have; see BENCH/BASELINE.md for both readings.
     pinned = "--pinned" in sys.argv
     n_rows = int(args[0]) if args else 240000
     base_n = int(args[1]) if len(args) > 1 else 8
-    hi_n = base_n * 4
-    results: dict[int, dict] = {}
-    for cpus in (base_n, hi_n, base_n, hi_n):  # interleaved best-of-2
-        time.sleep(10)
-        r = run_subprocess(cpus, n_rows, pinned)
-        if cpus not in results or r["sec"] < results[cpus]["sec"]:
-            results[cpus] = r
-    r_lo, r_hi = results[base_n], results[hi_n]
-    eff = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / 4.0
-    print(json.dumps({"n_rows": n_rows, "pinned": pinned,
-                      f"local{base_n}": r_lo, f"local{hi_n}": r_hi,
-                      "scaling_efficiency_N_to_4N": round(eff, 3)}))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    print(json.dumps(run_protocol(n_rows, base_n, repeats=2, pinned=pinned)))
 
 
 if __name__ == "__main__":
