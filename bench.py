@@ -194,6 +194,28 @@ def main():
     )
     extra["simhash_docs_per_sec"] = round(n_corpus / queries["simhash"], 1)
 
+    # full near-dup pipeline: LSH candidates → pruned Jaccard verify →
+    # connected components (the end-to-end dedup path a crawl corpus runs)
+    def _near_dup():
+        sigs = dedup.minhash_signatures(corpus, "content", "path", num_perm=16)
+        cand = dedup.lsh_candidate_pairs(sigs, id_col="path", num_perm=16, bands=4)
+        ver = dedup.jaccard_pairs(corpus, cand, "content", "path").where(
+            F.col("jaccard") >= 0.5
+        )
+        return dedup.cluster_pairs(ver.select("id_a", "id_b")).count()
+
+    extra["near_dup_clusters"] = timed("near_dup_pipeline", _near_dup)
+    extra["near_dup_docs_per_sec"] = round(n_corpus / queries["near_dup_pipeline"], 1)
+
+    timed(
+        "simhash_pairs",
+        lambda: dedup.simhash_candidate_pairs(
+            dedup.simhash(corpus, "content", "path"), id_col="path"
+        )
+        .agg(F.count(F.lit(1)), F.sum("hamming"))
+        .collect(),
+    )
+
     rng = np.random.default_rng(5)
     import pandas as pd
 
@@ -228,8 +250,9 @@ def main():
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         import scaling as S
 
-        scaling_rows = int(os.environ.get("BENCH_SCALING_ROWS", "48000"))
-        sc = S.run_protocol(scaling_rows, base_n=8, repeats=1, with_probe=True)
+        scaling_rows = int(os.environ.get("BENCH_SCALING_ROWS", "96000"))
+        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+        sc = S.run_protocol(scaling_rows, base_n=8, repeats=repeats, with_probe=True)
         out["scaling"] = sc
         out["efficiency"] = sc["scaling_efficiency_N_to_4N"]
         out["bandwidth_probe"] = {

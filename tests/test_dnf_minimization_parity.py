@@ -476,3 +476,58 @@ class TestExactCoverBeatsGreedy:
                 if found:
                     break
             assert found == len(cubes), f"non-minimal cover for onset={sorted(onset)}"
+
+
+class TestRandomFilterTrees:
+    """Property fuzz over random and/or/not trees: the minimizer invariants
+    that prove espresso set-parity must hold for EVERY filter, not just the
+    curated goldens."""
+
+    def _tree(self, rng, leaves):
+        if len(leaves) == 1:
+            node = leaves[0]
+        else:
+            cut = rng.randint(1, len(leaves) - 1)
+            op = rng.choice(["and", "or"])
+            node = {op: [self._tree(rng, leaves[:cut]), self._tree(rng, leaves[cut:])]}
+        if rng.random() < 0.3:
+            node = {"not": node}
+        return node
+
+    def test_minimizer_invariants_hold(self):
+        import random
+
+        rng = random.Random(0xBEEF)
+        t = Transformer()
+        unique_regime = 0
+        nontrivial = 0
+        for _ in range(150):
+            n_leaves = rng.randint(2, 5)
+            leaves = [{"equals": {f"f{j}": j}} for j in range(n_leaves)]
+            rng.shuffle(leaves)
+            filt = self._tree(rng, leaves)
+            standardized = t.standardize(filt)
+            onset, n = filter_onset(standardized)
+            if not onset or len(onset) == (1 << n) or n > 6:
+                continue
+            nontrivial += 1
+            cubes = _qm_minimize(set(onset), n)
+            covered = set().union(*(cube_minterms(c) for c in cubes))
+            assert covered == onset
+            primes = all_primes(onset, n)
+            assert set(cubes) <= primes
+            for c in cubes:
+                rest = (
+                    set().union(*(cube_minterms(x) for x in cubes if x != c))
+                    if len(cubes) > 1
+                    else set()
+                )
+                assert rest != onset, f"redundant cube {c} for {filt}"
+            ess = essential_primes(onset, primes)
+            ess_cov = set().union(*(cube_minterms(c) for c in ess)) if ess else set()
+            if ess_cov == onset:
+                unique_regime += 1
+                assert set(cubes) == ess, f"diverged from unique cover for {filt}"
+        assert nontrivial >= 80
+        # the unique (espresso-provable) regime must dominate real filters
+        assert unique_regime / nontrivial > 0.8

@@ -78,9 +78,11 @@ def probe(procs: int = 32, docs_per_proc: int = 600, reps: int = 30) -> dict:
     """Returns {procs, t_single_sec, t_parallel_sec, efficiency}.
 
     The timed region is `reps` tokenizations of the same batch (~2 s
-    single-process) so process startup/fork jitter cannot dominate."""
-    t1 = _timed_round(1, docs_per_proc, reps)
-    tp = _timed_round(procs, docs_per_proc, reps)
+    single-process) so process startup/fork jitter cannot dominate; both
+    legs are min-of-2 rounds so one noise spike cannot invert the ratio
+    (a shared-tenancy VM CAN stall the single-proc leg mid-probe)."""
+    t1 = min(_timed_round(1, docs_per_proc, reps) for _ in range(2))
+    tp = min(_timed_round(procs, docs_per_proc, reps) for _ in range(2))
     return {
         "procs": procs,
         "t_single_sec": round(t1, 3),

@@ -117,6 +117,10 @@ def run_protocol(
     for cpus in order:
         time.sleep(10)
         r = run_subprocess(cpus, n_rows, pinned)
+        if with_probe:
+            # box-health snapshot in the SAME window as this run, at this
+            # run's concurrency — the normalization source below
+            r["probe"] = probe(cpus, reps=15)
         if cpus not in results or r["sec"] < results[cpus]["sec"]:
             results[cpus] = r
     if with_probe:
@@ -136,14 +140,12 @@ def run_protocol(
     out["scaling_efficiency_N_to_2N"] = round(eff2, 3)
     if with_probe:
         # box ceiling: max throughput ratio perfectly-parallel work could
-        # reach between the two concurrency levels, per the SAME-session
-        # probes (mean of before/after)
+        # reach between the two concurrency levels, using the probe taken
+        # in the SAME window as the best run of each config (falls back to
+        # the protocol-level before-probe if a run carries none)
         def _eff(n):
-            probes = [out["bandwidth_probe_before"][f"p{n}"]]
-            after = out.get("bandwidth_probe_after", {}).get(f"p{n}")
-            if after:
-                probes.append(after)
-            return sum(p["efficiency"] for p in probes) / len(probes)
+            p = results[n].get("probe") or out["bandwidth_probe_before"][f"p{n}"]
+            return p["efficiency"]
 
         e_lo, e_mid, e_hi = (_eff(n) for n in (base_n, mid_n, hi_n))
         ceil4 = (hi_n * e_hi) / (base_n * e_lo) / 4.0
