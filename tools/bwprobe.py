@@ -74,19 +74,39 @@ def _timed_round(procs: int, docs_per_proc: int, reps: int) -> float:
     return max(times)
 
 
-def probe(procs: int = 32, docs_per_proc: int = 600, reps: int = 30) -> dict:
-    """Returns {procs, t_single_sec, t_parallel_sec, efficiency}.
+def single_baseline(docs_per_proc: int = 600, reps: int = 30, rounds: int = 3) -> float:
+    """Per-rep single-process baseline: min over `rounds` measurements.
 
+    The single leg is the probe's noise-critical quantity (a stall during
+    it inverts every ratio computed from it); taking the min over several
+    rounds and SHARING one baseline across a whole protocol session keeps
+    every window's efficiency on the same scale."""
+    return min(_timed_round(1, docs_per_proc, reps) for _ in range(rounds)) / reps
+
+
+def probe(
+    procs: int = 32,
+    docs_per_proc: int = 600,
+    reps: int = 30,
+    baseline: float | None = None,
+) -> dict:
+    """Returns {procs, t_single_rep_sec, t_parallel_rep_sec, efficiency}.
+
+    Values are PER-REP so probes of different durations compare directly.
     The timed region is `reps` tokenizations of the same batch (~2 s
     single-process) so process startup/fork jitter cannot dominate; both
     legs are min-of-2 rounds so one noise spike cannot invert the ratio
-    (a shared-tenancy VM CAN stall the single-proc leg mid-probe)."""
-    t1 = min(_timed_round(1, docs_per_proc, reps) for _ in range(2))
-    tp = min(_timed_round(procs, docs_per_proc, reps) for _ in range(2))
+    (a shared-tenancy VM CAN stall either leg mid-probe). Pass `baseline`
+    (from single_baseline) to skip the single leg and score this window
+    against the session-global baseline."""
+    t1 = baseline if baseline is not None else (
+        min(_timed_round(1, docs_per_proc, reps) for _ in range(2)) / reps
+    )
+    tp = min(_timed_round(procs, docs_per_proc, reps) for _ in range(2)) / reps
     return {
         "procs": procs,
-        "t_single_sec": round(t1, 3),
-        "t_parallel_sec": round(tp, 3),
+        "t_single_rep_sec": round(t1, 4),
+        "t_parallel_rep_sec": round(tp, 4),
         "efficiency": round(t1 / tp, 3) if tp else None,
     }
 

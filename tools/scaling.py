@@ -104,13 +104,19 @@ def run_protocol(
       are both reported; the raw number is what a calm box would gate on,
       the normalized one detects box degradation rather than job defects.
     """
-    from bwprobe import probe  # tools/ sibling
+    from bwprobe import probe, single_baseline  # tools/ sibling
 
     mid_n, hi_n = base_n * 2, base_n * 4
     out: dict = {"n_rows": n_rows, "pinned": pinned}
+    baseline = None
     if with_probe:
+        # ONE per-rep single-process baseline (min-of-3) for the whole
+        # session: every window's efficiency is scored against the same
+        # scale, so a stalled single leg cannot invert any ratio
+        baseline = single_baseline()
+        out["probe_baseline_rep_sec"] = round(baseline, 4)
         out["bandwidth_probe_before"] = {
-            f"p{n}": probe(n) for n in (base_n, mid_n, hi_n)
+            f"p{n}": probe(n, baseline=baseline) for n in (base_n, mid_n, hi_n)
         }
     order = (base_n, mid_n, hi_n) * repeats  # interleaved best-of-k
     results: dict[int, dict] = {}
@@ -120,12 +126,12 @@ def run_protocol(
         if with_probe:
             # box-health snapshot in the SAME window as this run, at this
             # run's concurrency — the normalization source below
-            r["probe"] = probe(cpus, reps=15)
+            r["probe"] = probe(cpus, reps=15, baseline=baseline)
         if cpus not in results or r["sec"] < results[cpus]["sec"]:
             results[cpus] = r
     if with_probe:
         out["bandwidth_probe_after"] = {
-            f"p{n}": probe(n) for n in (base_n, hi_n)
+            f"p{n}": probe(n, baseline=baseline) for n in (base_n, hi_n)
         }
     r_lo, r_mid, r_hi = results[base_n], results[mid_n], results[hi_n]
     out[f"local{base_n}"] = r_lo
