@@ -291,6 +291,7 @@ def lsh_candidate_pairs(
     num_perm: int = 16,
     bands: int = 4,
     bucket_cap: int = LSH_BUCKET_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, emit candidate pairs.
 
@@ -319,6 +320,11 @@ def lsh_candidate_pairs(
         .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
     )
+    if materialize:
+        # the frame feeds the window, BOTH bucket-join sides and the star
+        # leg; the barrier keeps the upstream signature mapInPandas from
+        # re-executing per reference (same pattern as jaccard_pairs)
+        exploded = exploded.localCheckpoint(eager=True)
     w = Window.partitionBy("band", "sig")
     stats = exploded.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
         "mid", F.min(id_col).over(w)
@@ -659,9 +665,17 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = SIMHASH_BUCKET_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """Band the 60-bit simhash into 4×15-bit chunks; by pigeonhole any pair
     with Hamming ≤ 3 collides in ≥1 chunk. Verify with bit_count.
+
+    ``materialize`` (default) eagerly localCheckpoints the tiny
+    (id, simhash, 4 chunk) projection first: the plan references it ~12×
+    (4 chunks × window + both join sides + star leg), and without the
+    barrier the upstream signature mapInPandas would re-execute for every
+    reference — measured 23 s → ~1 s at 2k docs, and catastrophic at
+    100 TB. Pass False only for plan inspection.
 
     Each chunk has only 2^15 distinct values, so even benign corpora put
     Θ(N²/2^15) pairs through an uncapped within-chunk join (~3·10^13
@@ -679,6 +693,8 @@ def simhash_candidate_pairs(
         for i in range(4)
     ]
     e = sigs.select(id_col, "simhash", *chunks)
+    if materialize:
+        e = e.localCheckpoint(eager=True)
     out = None
     for i in range(4):
         w = Window.partitionBy(f"c{i}")
