@@ -320,15 +320,15 @@ def lsh_candidate_pairs(
         .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
     )
-    if materialize:
-        # the frame feeds the window, BOTH bucket-join sides and the star
-        # leg; the barrier keeps the upstream signature mapInPandas from
-        # re-executing per reference (same pattern as jaccard_pairs)
-        exploded = exploded.localCheckpoint(eager=True)
     w = Window.partitionBy("band", "sig")
     stats = exploded.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
         "mid", F.min(id_col).over(w)
     )
+    if materialize:
+        # stats feeds BOTH bucket-join sides and the star leg; the barrier
+        # keeps the upstream signature mapInPandas AND the window shuffle
+        # from re-executing per reference (same pattern as jaccard_pairs)
+        stats = stats.localCheckpoint(eager=True)
     small = stats.where(F.col("n") <= bucket_cap)
     left = small.alias("l")
     right = small.alias("r")

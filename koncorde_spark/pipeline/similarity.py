@@ -264,12 +264,19 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_cap: int = 256,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH bucket → capped within-bucket
     join → exact cosine ≥ threshold. The embedding-space sibling of
     MinHash near-dedup (same bucket-join shape, same star-pattern cap for
     degenerate buckets — a corpus with millions of identical embeddings
     stays O(N) pairs per bucket, not O(N²)).
+
+    ``materialize`` (default) eagerly localCheckpoints the windowed bucket
+    stats: they feed both small-bucket join sides and both star-join sides,
+    and without the barrier the scan + bucket projection + window shuffle
+    re-execute per reference (4× at 100 TB). Pass False for plan
+    inspection of the unmaterialized shape.
 
     Buckets come from the Catalyst literal-hyperplane expression so the
     DuckDB twin reproduces the exact pair set; candidate volume is pruned
@@ -285,6 +292,8 @@ def embedding_near_dup_pairs(
     stats = e.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
         "mid", F.min(id_col).over(w)
     )
+    if materialize:
+        stats = stats.localCheckpoint(eager=True)
     small = stats.where(F.col("n") <= bucket_cap)
     pairs = (
         small.alias("l")
