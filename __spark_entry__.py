@@ -291,6 +291,35 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+BM25_MANY_QUERIES = {
+    "qa": "spark join merge",
+    "qb": "filter window hash",
+    "qc": "sort batch",
+    "qd": "zzz_unknown_term",
+}
+
+
+def _q_bm25_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched indexed path: ONE job answers a query batch (shared postings
+    scan + per-(term,shard) decode reuse). Oracle: UNION ALL of per-query
+    brute SQL with the same internal-sha tie-break as bm25_topk."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_many(BM25_MANY_QUERIES, BM25_K)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        "query_id",
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_groups(docs)
@@ -421,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_special": _q_perc_special,
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_many": _q_bm25_topk_many,
         "dedup_exact": _q_dedup_exact,
         "minhash16": _q_minhash16,
         "simhash64": _q_simhash64,
@@ -459,6 +489,17 @@ def oracle_sql() -> dict[str, str]:
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
     )
+    from koncorde_spark.fulltext.tokenizer import tokenize_text as _tok
+
+    bm25_many = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score FROM ("
+        + bm25_brute_sql(
+            "documents", sorted(set(_tok(q))), BM25_K, tie_sql=internal_id
+        )
+        + ")"
+        for qid, q in BM25_MANY_QUERIES.items()
+        if sorted(set(_tok(q)))
+    )
     out = {
         "perc_events": percolation_oracle_sql(
             _dnfs(EVENTS_FILTERS), _EVENTS_ORACLE_TABLE, "event_id"
@@ -479,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_brute": bm25,
         "bm25_topk": bm25_indexed,
+        "bm25_topk_many": bm25_many,
         "dedup_exact": dedup.exact_groups_sql("documents"),
         "minhash16": dedup.minhash_signatures_sql("documents", num_perm=16),
         "simhash64": dedup.simhash_sql("documents"),

@@ -34,6 +34,51 @@ TOPK_SCHEMA = T.StructType(
     ]
 )
 
+TOPK_MANY_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _decode_shard_postings(
+    post_pdf: pd.DataFrame,
+    pack_pdf: pd.DataFrame,
+    idf_map: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+) -> dict[str, TermPostings]:
+    """Decode one shard's postings rows into per-term TermPostings.
+
+    Shared by topk() and topk_many(): the expensive part (varint/delta
+    decode + BM25 tf normalization) happens once per (term, shard), and
+    every query in a batch reuses the decoded structures."""
+    prow = pack_pdf.iloc[0]
+    n_pack = int(prow["n"])
+    dl_ids = delta_decode(bytes(prow["doc_ids"]), n_pack).astype(np.int64)
+    dl_vals = varint_decode(bytes(prow["dls"]), n_pack).astype(np.float64)
+
+    out: dict[str, TermPostings] = {}
+    for _, row in post_pdf.iterrows():
+        n = int(row["df"])
+        ids = delta_decode(bytes(row["doc_ids"]), n).astype(np.int64)
+        tfs = varint_decode(bytes(row["tfs"]), n).astype(np.float64)
+        dls = dl_vals[np.searchsorted(dl_ids, ids)]
+        idf = idf_map[row["term"]]
+        tfpart = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        out[row["term"]] = TermPostings(
+            doc_ids=ids,
+            scores=idf * tfpart,
+            block_last=np.asarray(row["block_last"], dtype=np.int64),
+            block_ub=idf * np.asarray(row["block_max"], dtype=np.float64),
+            block_size=block_size,
+        )
+    return out
+
 
 class Bm25Index:
     """Handle to a built index directory."""
@@ -104,29 +149,10 @@ class Bm25Index:
             if len(post_pdf) == 0 or len(pack_pdf) == 0:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float64")})
-            prow = pack_pdf.iloc[0]
-            n_pack = int(prow["n"])
-            dl_ids = delta_decode(bytes(prow["doc_ids"]), n_pack).astype(np.int64)
-            dl_vals = varint_decode(bytes(prow["dls"]), n_pack).astype(np.float64)
-
-            tps: list[TermPostings] = []
-            for _, row in post_pdf.iterrows():
-                n = int(row["df"])
-                ids = delta_decode(bytes(row["doc_ids"]), n).astype(np.int64)
-                tfs = varint_decode(bytes(row["tfs"]), n).astype(np.float64)
-                dls = dl_vals[np.searchsorted(dl_ids, ids)]
-                idf = idf_map_b[row["term"]]
-                tfpart = tfs * (k1_ + 1.0) / (tfs + k1_ * (1.0 - b_ + b_ * dls / avgdl_))
-                tps.append(
-                    TermPostings(
-                        doc_ids=ids,
-                        scores=idf * tfpart,
-                        block_last=np.asarray(row["block_last"], dtype=np.int64),
-                        block_ub=idf * np.asarray(row["block_max"], dtype=np.float64),
-                        block_size=bs_,
-                    )
-                )
-            ids, scores = topk_block_max_wand(tps, k_)
+            by_term = _decode_shard_postings(
+                post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_
+            )
+            ids, scores = topk_block_max_wand(list(by_term.values()), k_)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         per_shard_topk = (
@@ -135,3 +161,78 @@ class Bm25Index:
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Top-k per query for a BATCH of queries in ONE Spark job.
+
+        One postings scan covers the union of every query's terms
+        (`PushedFilters: In(term, …)`), each (term, shard) posting list is
+        decoded once, and every query reuses the decoded structures inside
+        the same per-shard cogroup — the right shape when a search tier
+        evaluates query batches against a 10^12-file index (per-query jobs
+        would re-scan and re-decode shared hot terms per query).
+
+        Returns (query_id, doc_id, score): k rows per query, rank- and
+        score-identical to per-query ``topk`` (verified by tests).
+        Queries with no indexed terms simply yield no rows.
+        """
+        from pyspark.sql import Window
+
+        q_terms = {
+            qid: sorted(set(tokenize_text(q))) for qid, q in queries.items()
+        }
+        all_terms = sorted({t for ts in q_terms.values() for t in ts})
+        if not all_terms:
+            return self.spark.createDataFrame([], TOPK_MANY_SCHEMA)
+
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b, block_size = meta["k1"], meta["b"], meta["block_size"]
+        dfs = self._df_for(all_terms)
+        idf_map = {t: float(bm25_idf(n_docs, df)) for t, df in dfs.items()}
+        if not idf_map:
+            return self.spark.createDataFrame([], TOPK_MANY_SCHEMA)
+        q_terms = {
+            qid: [t for t in ts if t in idf_map] for qid, ts in q_terms.items()
+        }
+
+        relevant = self.postings.where(F.col("term").isin(list(idf_map)))
+        k1_, b_, bs_, avgdl_, k_ = k1, b, block_size, avgdl, k
+        idf_map_b, q_terms_b = idf_map, q_terms
+
+        def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="object"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+            if len(post_pdf) == 0 or len(pack_pdf) == 0:
+                return empty
+            by_term = _decode_shard_postings(
+                post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_
+            )
+            frames = []
+            for qid, ts in q_terms_b.items():
+                tps = [by_term[t] for t in ts if t in by_term]
+                if not tps:
+                    continue
+                ids, scores = topk_block_max_wand(tps, k_)
+                if len(ids):
+                    frames.append(
+                        pd.DataFrame({"query_id": qid, "doc_id": ids, "score": scores})
+                    )
+            return pd.concat(frames, ignore_index=True) if frames else empty
+
+        per_shard = (
+            relevant.groupBy("shard")
+            .cogroup(self.dlpack.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_MANY_SCHEMA)
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_shard.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )

@@ -161,6 +161,38 @@ class TestIndexSpark:
             assert list(got["doc_id"]) == list(exp["doc_id"]), q
             assert np.allclose(got["score"], exp["score"], atol=1e-9), q
 
+    def test_topk_many_matches_per_query_topk(self, spark, bm25_index_dir):
+        """Batched topk_many must be rank- AND score-identical to per-query
+        topk, including queries with unknown terms (no rows) and shared hot
+        terms across queries."""
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        queries = {
+            "q1": "import ident_00001",
+            "q2": "ident_00042 ident_00100 return",
+            "q3": "def function import return",
+            "q4": "missingterm_zzz",
+        }
+        k = 10
+        batched = idx.topk_many(queries, k).toPandas()
+        for qid, q in queries.items():
+            got = (
+                batched[batched["query_id"] == qid]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .reset_index(drop=True)
+            )
+            exp = idx.topk(q, k).toPandas()
+            assert list(got["doc_id"]) == list(exp["doc_id"]), qid
+            assert np.allclose(got["score"], exp["score"], atol=0), qid
+
+    def test_topk_many_empty_queries(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        assert idx.topk_many({}, 5).count() == 0
+        assert idx.topk_many({"q": "zzz_unknown"}, 5).count() == 0
+
     def test_manifests_exist(self, bm25_index_dir):
         for stage in ("docs", "postings"):
             d = os.path.join(bm25_index_dir, "_manifests", stage)
