@@ -247,19 +247,26 @@ def main():
     # index builds bracketed by Spark-free bandwidth probes; raw efficiency
     # AND the same-session box ceiling both ride in BENCH_r{N}.json.
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-        import scaling as S
+        # Never let the scaling leg take down the bench line: a failed
+        # protocol run records its error, the suite numbers still land.
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            import scaling as S
 
-        scaling_rows = int(os.environ.get("BENCH_SCALING_ROWS", "96000"))
-        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
-        sc = S.run_protocol(scaling_rows, base_n=8, repeats=repeats, with_probe=True)
-        out["scaling"] = sc
-        out["efficiency"] = sc["scaling_efficiency_N_to_4N"]
-        out["bandwidth_probe"] = {
-            "before": sc["bandwidth_probe_before"],
-            "after": sc["bandwidth_probe_after"],
-        }
-        out["stage_timings"] = sc["stage_timings"]
+            scaling_rows = int(os.environ.get("BENCH_SCALING_ROWS", "96000"))
+            repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+            sc = S.run_protocol(scaling_rows, base_n=8, repeats=repeats, with_probe=True)
+            out["scaling"] = sc
+            out["efficiency"] = sc["scaling_efficiency_N_to_4N"]
+            out["bandwidth_probe"] = {
+                "before": sc["bandwidth_probe_before"],
+                "after": sc["bandwidth_probe_after"],
+            }
+            out["stage_timings"] = sc["stage_timings"]
+        except Exception as e:  # noqa: BLE001
+            out["scaling_error"] = f"{type(e).__name__}: {e}"[:500]
 
     print(json.dumps(out))
 

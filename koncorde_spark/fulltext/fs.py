@@ -100,3 +100,32 @@ def write_json(path: str, obj) -> None:
 
 def read_json(path: str):
     return json.loads(read_text(path))
+
+
+def delete(path: str, recursive: bool = True) -> None:
+    """Delete a file or directory tree; no-op when absent."""
+    if is_local(path):
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+        return
+    fs, jpath, _ = _jfs(_spark(), path)
+    if fs.exists(jpath):
+        fs.delete(jpath, recursive)
+
+
+def rename(src: str, dst: str) -> None:
+    """Atomic-where-the-FS-allows rename (posix/HDFS: atomic; object
+    stores: copy+delete under the hood — callers must treat the swap as
+    the commit point either way)."""
+    if is_local(src) and is_local(dst):
+        os.replace(src, dst) if os.path.isfile(src) else os.rename(src, dst)
+        return
+    spark = _spark()
+    fs, jsrc, _ = _jfs(spark, src)
+    _, jdst, _ = _jfs(spark, dst)
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"rename failed: {src} -> {dst}")

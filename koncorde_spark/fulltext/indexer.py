@@ -114,6 +114,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("tfs", T.BinaryType()),
         T.StructField("block_last", T.ArrayType(T.LongType())),
         T.StructField("block_max", T.ArrayType(T.DoubleType())),
+        # the avgdl the block_max upper bounds were computed with: after
+        # appends shift the corpus avgdl, query paths rescale the bound by
+        # max(1, avgdl_now / avgdl_seg) — a valid (sup-ratio) upper bound,
+        # so WAND stays exact across appends
+        T.StructField("avgdl_seg", T.DoubleType()),
     ]
 )
 
@@ -349,6 +354,7 @@ def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_sh
                 "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
                 "block_last": [blast[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
                 "block_max": [bmax[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
+                "avgdl_seg": np.full(len(starts), avgdl),
             }
         )
 

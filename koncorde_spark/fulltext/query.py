@@ -51,18 +51,22 @@ def _decode_shard_postings(
     b: float,
     avgdl: float,
     block_size: int,
-) -> dict[str, TermPostings]:
-    """Decode one shard's postings rows into per-term TermPostings.
+) -> dict[str, list[TermPostings]]:
+    """Decode one shard's postings rows into per-term TermPostings LISTS.
 
-    Shared by topk() and topk_many(): the expensive part (varint/delta
-    decode + BM25 tf normalization) happens once per (term, shard), and
-    every query in a batch reuses the decoded structures."""
+    A (term, shard) pair may own SEVERAL segment rows — one per salt from
+    a hot-term build, one per append generation — and BM25 scoring is
+    additive per posting entry, so every segment enters WAND as its own
+    posting list (collapsing them per term would silently drop all but
+    one segment). Shared by topk() and topk_many(): the expensive part
+    (varint/delta decode + tf normalization) happens once per segment,
+    and every query in a batch reuses the decoded structures."""
     prow = pack_pdf.iloc[0]
     n_pack = int(prow["n"])
     dl_ids = delta_decode(bytes(prow["doc_ids"]), n_pack).astype(np.int64)
     dl_vals = varint_decode(bytes(prow["dls"]), n_pack).astype(np.float64)
 
-    out: dict[str, TermPostings] = {}
+    out: dict[str, list[TermPostings]] = {}
     for _, row in post_pdf.iterrows():
         n = int(row["df"])
         ids = delta_decode(bytes(row["doc_ids"]), n).astype(np.int64)
@@ -70,12 +74,20 @@ def _decode_shard_postings(
         dls = dl_vals[np.searchsorted(dl_ids, ids)]
         idf = idf_map[row["term"]]
         tfpart = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        out[row["term"]] = TermPostings(
-            doc_ids=ids,
-            scores=idf * tfpart,
-            block_last=np.asarray(row["block_last"], dtype=np.int64),
-            block_ub=idf * np.asarray(row["block_max"], dtype=np.float64),
-            block_size=block_size,
+        # block_max was computed with the segment's build-time avgdl; when
+        # appends RAISE the corpus avgdl, true tf-parts can exceed it. The
+        # sup of the ratio over all (tf, dl) is avgdl_now/avgdl_seg, so
+        # scaling by max(1, that) keeps the bound valid and WAND exact.
+        seg = row["avgdl_seg"] if "avgdl_seg" in row.index else None
+        bound_scale = max(1.0, avgdl / float(seg)) if seg and seg > 0 else 1.0
+        out.setdefault(row["term"], []).append(
+            TermPostings(
+                doc_ids=ids,
+                scores=idf * tfpart,
+                block_last=np.asarray(row["block_last"], dtype=np.int64),
+                block_ub=idf * bound_scale * np.asarray(row["block_max"], dtype=np.float64),
+                block_size=block_size,
+            )
         )
     return out
 
@@ -152,7 +164,8 @@ class Bm25Index:
             by_term = _decode_shard_postings(
                 post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_
             )
-            ids, scores = topk_block_max_wand(list(by_term.values()), k_)
+            tps = [tp for segs in by_term.values() for tp in segs]
+            ids, scores = topk_block_max_wand(tps, k_)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         per_shard_topk = (
@@ -215,7 +228,7 @@ class Bm25Index:
             )
             frames = []
             for qid, ts in q_terms_b.items():
-                tps = [by_term[t] for t in ts if t in by_term]
+                tps = [tp for t in ts if t in by_term for tp in by_term[t]]
                 if not tps:
                     continue
                 ids, scores = topk_block_max_wand(tps, k_)

@@ -61,9 +61,11 @@ class LocalSearcher:
         k1, b = self.meta["k1"], self.meta["b"]
         avgdl, bs = self.meta["avgdl"], self.meta["block_size"]
 
+        cols = ["term", "shard", "df", "doc_ids", "tfs", "block_last", "block_max"]
+        if "avgdl_seg" in self._postings.schema.names:
+            cols.append("avgdl_seg")
         tbl = self._postings.to_table(
-            filter=ds.field("term").isin(list(idf)),
-            columns=["term", "shard", "df", "doc_ids", "tfs", "block_last", "block_max"],
+            filter=ds.field("term").isin(list(idf)), columns=cols
         )
         by_shard: dict[int, list[TermPostings]] = {}
         for i in range(tbl.num_rows):
@@ -75,12 +77,16 @@ class LocalSearcher:
             dl_ids, dl_vals = self._dl[shard]
             dls = dl_vals[np.searchsorted(dl_ids, ids)]
             tfpart = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            # same avgdl-shift bound correction as the Spark path (keeps
+            # the two tiers bit-identical across appends)
+            seg = tbl["avgdl_seg"][i].as_py() if "avgdl_seg" in tbl.column_names else None
+            bscale = max(1.0, avgdl / float(seg)) if seg else 1.0
             by_shard.setdefault(shard, []).append(
                 TermPostings(
                     doc_ids=ids,
                     scores=idf[term] * tfpart,
                     block_last=np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
-                    block_ub=idf[term] * np.asarray(tbl["block_max"][i].as_py()),
+                    block_ub=idf[term] * bscale * np.asarray(tbl["block_max"][i].as_py()),
                     block_size=bs,
                 )
             )

@@ -372,3 +372,50 @@ class TestCodecEdges:
         buf, lens = delta_encode_groups(arr, offsets)
         back = delta_decode_groups(varint_decode(buf, 3), offsets)
         assert back.tolist() == [5, 9, 12]
+
+
+class TestMultiSegmentDecode:
+    def test_segments_are_additive_not_collapsed(self):
+        """A (term, shard) pair owning SEVERAL segment rows (salted hot
+        term / append generation) must contribute ALL its postings: the
+        decode helper returns per-term segment LISTS and WAND scores the
+        union (a per-term dict would silently drop all but one segment)."""
+        import pandas as pd
+
+        from koncorde_spark.fulltext.codecs import delta_encode, varint_encode
+        from koncorde_spark.fulltext.query import _decode_shard_postings
+        from koncorde_spark.fulltext.wand import topk_block_max_wand
+
+        def seg(ids, tfs, avgdl_seg=10.0):
+            ids_a = np.array(ids, dtype=np.uint64)
+            tf_a = np.array(tfs, dtype=np.uint64)
+            norm = tf_a * 2.2 / (tf_a + 1.2)  # any valid upper bound
+            return {
+                "term": "hot",
+                "shard": 0,
+                "df": len(ids),
+                "doc_ids": delta_encode(ids_a),
+                "tfs": varint_encode(tf_a),
+                "block_last": [int(ids[-1])],
+                "block_max": [float(norm.max())],
+                "avgdl_seg": avgdl_seg,
+            }
+
+        post_pdf = pd.DataFrame([seg([1, 5], [2, 1]), seg([3, 9], [1, 4])])
+        all_ids = np.array([1, 3, 5, 9], dtype=np.uint64)
+        pack_pdf = pd.DataFrame(
+            [{
+                "shard": 0,
+                "n": 4,
+                "doc_ids": delta_encode(all_ids),
+                "dls": varint_encode(np.array([10, 10, 10, 10], dtype=np.uint64)),
+            }]
+        )
+        by_term = _decode_shard_postings(
+            post_pdf, pack_pdf, {"hot": 1.0}, 1.2, 0.75, 10.0, 128
+        )
+        assert len(by_term["hot"]) == 2  # both segments survive
+        ids, scores = topk_block_max_wand(
+            [tp for segs in by_term.values() for tp in segs], 10
+        )
+        assert sorted(ids.tolist()) == [1, 3, 5, 9]  # postings from BOTH segments
