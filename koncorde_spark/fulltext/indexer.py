@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 from . import fs
 
 from .codecs import (
+    delta_decode,
     delta_decode_groups,
     delta_encode,
     delta_encode_groups,
@@ -135,6 +136,19 @@ def sql_shard_col(n_shards: int):
     t60 = f"cast(conv(substring({sha}, 1, 15), 16, 10) as bigint)"
     h16 = f"cast(conv(substring({sha}, 16, 1), 16, 10) as bigint)"
     return F.expr(f"pmod({t60} * 8 + ({h16} div 2), {n_shards})")
+
+
+def sql_doc_id_col():
+    """Catalyst expression computing :func:`doc_id_of` exactly.
+
+    doc_id = top64(sha256) >> 1 = T60*8 + (hex16 div 2) with T60 the first
+    15 hex chars (60 bits, so T60*8 fits a signed bigint). Keeps the
+    append-path anti-join JVM-side (no Python round-trip to identify
+    already-indexed documents)."""
+    sha = "sha2(concat_ws(char(0), repo, path, commit), 256)"
+    t60 = f"cast(conv(substring({sha}, 1, 15), 16, 10) as bigint)"
+    h16 = f"cast(conv(substring({sha}, 16, 1), 16, 10) as bigint)"
+    return F.expr(f"{t60} * 8 + ({h16} div 2)")
 
 
 def doc_id_of(repo: str, path: str, commit: str) -> int:
@@ -632,3 +646,241 @@ def docs_lineage_xor(out_dir: str, shard: int, fp: str) -> int:
 
 def read_meta(out_dir: str) -> dict:
     return fs.read_json(os.path.join(out_dir, "meta.json"))
+
+
+# ---------------------------------------------------------------------------
+# incremental append
+# ---------------------------------------------------------------------------
+
+
+def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> dict:
+    """Append new documents to an existing index as additional segments.
+
+    The web-scale flow: the crawl grows daily, and re-building a 10^12-file
+    index per batch is not an option. Postings segments are ADDITIVE
+    (multiple rows per (term, shard) are legal — scoring sums per posting
+    entry), so appending writes new segment rows next to the old ones and
+    never rewrites existing postings bytes. Exactness across the corpus
+    shift is preserved by two mechanisms:
+
+    - raw tfs/dls are stored, so exact scores always use the CURRENT
+      meta avgdl at query time;
+    - each segment records ``avgdl_seg``; query tiers rescale its block-max
+      bounds by max(1, avgdl_now/avgdl_seg) — a valid upper bound (the sup
+      of the tf-part ratio over all (tf, dl) is exactly avgdl_now/avgdl_seg)
+      — so block-max WAND stays exact, merely a little less tight.
+
+    Stages (each commits before the next starts; the manifest lineage ties
+    them together):
+      1. identify genuinely-new documents (anti-join on the Catalyst
+         doc_id expression against the docs table) — re-appending an
+         already-indexed document is a no-op, never a duplicate;
+      2. append docs rows; xor the per-shard lineage into the docs
+         manifests (xor is associative, so combined lineage equals what a
+         from-scratch build over the union would record);
+      3. merge the new (doc_id, dl) pairs into the per-shard dlpack rows
+         (decode + merge-sort + re-encode, staged write + atomic swap —
+         dlpack keeps its ONE-row-per-shard invariant);
+      4. build postings segments for the new docs only (same partials →
+         salted merge pipeline as the full build, with the NEW combined
+         avgdl) and APPEND them to the per-shard dirs;
+      5. recompute term stats and meta (n_docs, avgdl, n_terms).
+
+    Crash recovery: if a previous append died between stages, the docs and
+    postings manifests disagree (or the docs parquet holds rows no
+    manifest accounts for) — this function detects both and refuses with
+    instructions; ``build_index(full_corpus, resume=True)`` then rebuilds
+    exactly the inconsistent shards (its per-shard dynamic overwrite also
+    clears any partially-appended segment files).
+    """
+    meta = read_meta(out_dir)
+    config = IndexConfig(
+        n_shards=int(meta["n_shards"]),
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+        block_size=int(meta["block_size"]),
+    )
+    fp = config.fingerprint()
+    if fp != meta["config"]:
+        raise ValueError(
+            f"index config fingerprint mismatch ({fp} != {meta['config']}); "
+            "the index was built with different parameters"
+        )
+    n_shards = config.n_shards
+    docs_path = os.path.join(out_dir, "docs")
+    postings_path = os.path.join(out_dir, "postings")
+    terms_path = os.path.join(out_dir, "terms")
+    dlpack_path = os.path.join(out_dir, "dlpack")
+    meta_path = os.path.join(out_dir, "meta.json")
+    metrics: dict[str, float] = {}
+
+    # -- consistency prechecks -------------------------------------------
+    docs_man = _read_manifests(out_dir, "docs", fp)
+    post_man = _read_manifests(out_dir, "postings", fp)
+    for sh in range(n_shards):
+        dlx = int(docs_man.get(sh, {}).get("lineage_xor", 0))
+        plx = int(post_man.get(sh, {}).get("lineage_xor", 0))
+        if dlx != plx:
+            raise RuntimeError(
+                f"index inconsistent at shard {sh} (docs/postings lineage "
+                "mismatch — a previous append or build crashed mid-way); "
+                "repair with build_index(full_corpus, out_dir, resume=True)"
+            )
+    manifest_docs = sum(int(m.get("rows", 0)) for m in docs_man.values())
+    actual_docs = spark.read.parquet(docs_path).count()
+    if actual_docs != manifest_docs:
+        raise RuntimeError(
+            f"docs table holds {actual_docs} rows but manifests account for "
+            f"{manifest_docs} (orphaned rows from a crashed append); rebuild "
+            "with build_index(full_corpus, out_dir, resume=False)"
+        )
+
+    # -- stage 1: identify new documents ---------------------------------
+    t0 = time.time()
+    existing_ids = spark.read.parquet(docs_path).select("doc_id")
+    # localCheckpoint (NOT persist): the anti-join's lineage scans the docs
+    # table we are about to append to, and Spark invalidates caches over a
+    # path when the session writes to it — a merely-persisted new_src/nd
+    # would silently recompute against the POST-append table (= empty) for
+    # every later stage. Checkpointing cuts the lineage for good.
+    new_src = (
+        new_corpus.withColumn("__doc_id", sql_doc_id_col())
+        .join(existing_ids, F.col("__doc_id") == existing_ids["doc_id"], "left_anti")
+        .drop("__doc_id")
+        .localCheckpoint(eager=True)
+    )
+    nd = new_src.mapInPandas(_docs_stage_fn(n_shards), schema=DOCS_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    n_new = nd.count()
+    if n_new == 0:
+        return meta  # nothing new — the index is untouched
+
+    # -- stage 2: docs append + combined lineage --------------------------
+    nd.write.mode("append").parquet(docs_path)
+    new_lineage = {int(r["shard"]): r for r in _shard_lineage(nd)}
+    comb_docs = []
+    for sh in range(n_shards):
+        old = docs_man.get(sh, {"rows": 0, "tokens": 0, "lineage_xor": 0})
+        new = new_lineage.get(sh, {"rows": 0, "tokens": 0, "lineage_xor": 0})
+        comb_docs.append(
+            {
+                "shard": sh,
+                "rows": int(old["rows"]) + int(new["rows"]),
+                "tokens": int(old["tokens"]) + int(new["tokens"]),
+                "lineage_xor": int(old["lineage_xor"]) ^ int(new["lineage_xor"]),
+            }
+        )
+    _write_manifests(out_dir, "docs", comb_docs, fp)
+    docs_lx = {m["shard"]: m["lineage_xor"] for m in comb_docs}
+    n_docs = sum(m["rows"] for m in comb_docs)
+    total_tokens = sum(m["tokens"] for m in comb_docs)
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+    metrics["docs_sec"] = time.time() - t0
+
+    # -- stage 3: dlpack merge (staged write + swap) ----------------------
+    t0 = time.time()
+    old_pack = spark.read.parquet(dlpack_path)
+
+    def merge_pack(key, pack_iter, docs_pdf):
+        shard = int(key[0])
+        packs = list(pack_iter) if not isinstance(pack_iter, pd.DataFrame) else [pack_iter]
+        ids_parts, dls_parts = [], []
+        for pdf in packs:
+            for _, prow in pdf.iterrows():
+                n = int(prow["n"])
+                ids_parts.append(delta_decode(bytes(prow["doc_ids"]), n).astype(np.int64))
+                dls_parts.append(varint_decode(bytes(prow["dls"]), n).astype(np.int64))
+        if len(docs_pdf):
+            ids_parts.append(docs_pdf["doc_id"].to_numpy(dtype=np.int64))
+            dls_parts.append(docs_pdf["dl"].to_numpy(dtype=np.int64))
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, dtype=np.int64)
+        dls = np.concatenate(dls_parts) if dls_parts else np.empty(0, dtype=np.int64)
+        order = np.argsort(ids)
+        ids, dls = ids[order], dls[order]
+        return pd.DataFrame(
+            [(shard, len(ids), delta_encode(ids.astype(np.uint64)),
+              varint_encode(dls.astype(np.uint64)))],
+            columns=["shard", "n", "doc_ids", "dls"],
+        )
+
+    staging = dlpack_path + "__staging"
+    fs.delete(staging)
+    (
+        old_pack.groupBy("shard")
+        .cogroup(nd.select("shard", "doc_id", "dl").groupBy("shard"))
+        .applyInPandas(lambda k, l, r: merge_pack(k, l, r), schema=DLPACK_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    fs.delete(dlpack_path)
+    fs.rename(staging, dlpack_path)
+    _write_manifests(
+        out_dir,
+        "dlpack",
+        [
+            {"shard": sh, "rows": 1, "tokens": 0, "lineage_xor": docs_lx.get(sh, 0)}
+            for sh in range(n_shards)
+        ],
+        fp,
+    )
+    metrics["dlpack_sec"] = time.time() - t0
+
+    # -- stage 4: postings segments for the new docs ----------------------
+    t0 = time.time()
+    partials = new_src.mapInPandas(_partials_fn(n_shards), schema=PARTIAL_SCHEMA).persist()
+    partials.count()  # barrier: python stage separate from the shuffle
+    n_merge_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = partials.repartition(n_merge_parts, "term", "salt").mapInPandas(
+        _merge_partition_fn(config.k1, config.b, avgdl, config.block_size, n_shards),
+        schema=POSTINGS_SCHEMA,
+    )
+    (
+        merged.repartition(n_shards, "shard")
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(postings_path)
+    )
+    partials.unpersist()
+    postings = spark.read.parquet(postings_path).persist()
+    pl = (
+        postings.groupBy("shard")
+        .agg(F.count("*").alias("rows"), F.sum("df").alias("tokens"))
+        .collect()
+    )
+    man = [
+        {"shard": int(r["shard"]), "rows": int(r["rows"]), "tokens": int(r["tokens"]),
+         "lineage_xor": docs_lx.get(int(r["shard"]), 0)}
+        for r in pl
+    ]
+    present = {m["shard"] for m in man}
+    man += [
+        {"shard": sh, "rows": 0, "tokens": 0, "lineage_xor": docs_lx.get(sh, 0)}
+        for sh in range(n_shards)
+        if sh not in present
+    ]
+    _write_manifests(out_dir, "postings", man, fp)
+    metrics["postings_sec"] = time.time() - t0
+
+    # -- stage 5: term stats + meta ---------------------------------------
+    t0 = time.time()
+    postings.groupBy("term").agg(F.sum("df").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(terms_path)
+    postings.unpersist()
+    n_terms = spark.read.parquet(terms_path).count()
+    metrics["terms_sec"] = time.time() - t0
+
+    meta = dict(meta)
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "n_terms": n_terms,
+            "avgdl": avgdl,
+            "metrics": metrics,
+            "appends": meta.get("appends", []) + [{"n_new": n_new, "at": time.time()}],
+        }
+    )
+    fs.write_json(meta_path, meta)
+    return meta

@@ -419,3 +419,146 @@ class TestMultiSegmentDecode:
             [tp for segs in by_term.values() for tp in segs], 10
         )
         assert sorted(ids.tolist()) == [1, 3, 5, 9]  # postings from BOTH segments
+
+
+@pytest.mark.spark
+class TestAppendIndex:
+    """Incremental append: additive segments must be indistinguishable (in
+    query results) from a from-scratch build over the union."""
+
+    @staticmethod
+    def _corpus(spark, docs):
+        pdf = pd.DataFrame(
+            {
+                "repo": [f"r{i % 3}" for i in range(len(docs))],
+                "path": [f"p/{i}.py" for i in range(len(docs))],
+                "commit": ["c1"] * len(docs),
+                "lang": ["py"] * len(docs),
+                "content": docs,
+            }
+        )
+        return spark.createDataFrame(pdf), pdf
+
+    @staticmethod
+    def _mk_docs(rng, n, words, length):
+        return [
+            " ".join(rng.choice(words, size=max(2, int(rng.integers(length // 2, length + 1)))))
+            for _ in range(n)
+        ]
+
+    def test_append_matches_full_rebuild(self, spark, tmp_path):
+        from koncorde_spark.fulltext.indexer import IndexConfig, append_index, build_index
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        rng = np.random.default_rng(11)
+        words = np.array(
+            "alpha beta gamma delta import return merge spark index shard".split()
+        )
+        docs_a = self._mk_docs(rng, 60, words, 12)
+        # batch B is 10x LONGER: the corpus avgdl RISES sharply, exercising
+        # the avgdl_seg bound correction (stale bounds would break WAND)
+        docs_b = self._mk_docs(rng, 40, words, 120)
+
+        base_a, _ = self._corpus(spark, docs_a)
+        # path sets must differ between batches (identity = repo/path/commit)
+        pdf_b = pd.DataFrame(
+            {
+                "repo": [f"r{i % 3}" for i in range(len(docs_b))],
+                "path": [f"q/{i}.py" for i in range(len(docs_b))],
+                "commit": ["c2"] * len(docs_b),
+                "lang": ["py"] * len(docs_b),
+                "content": docs_b,
+            }
+        )
+        base_b = spark.createDataFrame(pdf_b)
+
+        cfg = IndexConfig(n_shards=4)
+        inc_dir = str(tmp_path / "inc")
+        full_dir = str(tmp_path / "full")
+        build_index(spark, base_a, inc_dir, cfg, resume=False)
+        meta = append_index(spark, base_b, inc_dir)
+        assert meta["n_docs"] == 100
+        assert meta["appends"][-1]["n_new"] == 40
+
+        build_index(spark, base_a.unionByName(base_b), full_dir, cfg, resume=False)
+
+        inc = Bm25Index(spark, inc_dir)
+        full = Bm25Index(spark, full_dir)
+        assert inc.meta["n_docs"] == full.meta["n_docs"]
+        assert abs(inc.meta["avgdl"] - full.meta["avgdl"]) < 1e-9
+        assert inc.meta["n_terms"] == full.meta["n_terms"]
+
+        for q in ["alpha beta", "import merge spark", "gamma", "shard index return"]:
+            got = inc.topk(q, 15).toPandas()
+            want = full.topk(q, 15).toPandas()
+            assert list(got["doc_id"]) == list(want["doc_id"]), q
+            assert np.allclose(got["score"], want["score"], atol=1e-12), q
+            # Spark-free tier agrees too (bound correction applied there)
+            s = LocalSearcher(inc_dir).topk(q, 15)
+            assert [d for d, _ in s] == list(want["doc_id"]), q
+
+    def test_reappend_same_docs_is_noop(self, spark, tmp_path):
+        from koncorde_spark.fulltext.indexer import IndexConfig, append_index, build_index
+
+        rng = np.random.default_rng(5)
+        words = np.array("one two three four five".split())
+        corpus, _ = self._corpus(spark, self._mk_docs(rng, 30, words, 10))
+        d = str(tmp_path / "idx")
+        build_index(spark, corpus, d, IndexConfig(n_shards=4), resume=False)
+        import duckdb
+
+        rows_before = duckdb.sql(
+            f"select count(*) from parquet_scan('{d}/postings/*/*.parquet', hive_partitioning=1)"
+        ).fetchone()[0]
+        meta = append_index(spark, corpus, d)
+        rows_after = duckdb.sql(
+            f"select count(*) from parquet_scan('{d}/postings/*/*.parquet', hive_partitioning=1)"
+        ).fetchone()[0]
+        assert rows_before == rows_after  # no duplicate segments
+        assert "appends" not in meta or not meta.get("appends")
+
+    def test_mixed_batch_appends_only_new(self, spark, tmp_path):
+        """A batch overlapping already-indexed docs appends ONLY the new
+        ones (anti-join on the Catalyst doc_id expression)."""
+        from koncorde_spark.fulltext.indexer import IndexConfig, append_index, build_index
+
+        rng = np.random.default_rng(6)
+        words = np.array("red green blue cyan".split())
+        docs = self._mk_docs(rng, 20, words, 8)
+        corpus, pdf = self._corpus(spark, docs)
+        d = str(tmp_path / "idx")
+        build_index(spark, corpus, d, IndexConfig(n_shards=4), resume=False)
+
+        extra = pd.DataFrame(
+            {
+                "repo": ["rx", "rx"],
+                "path": ["new/1.py", "new/2.py"],
+                "commit": ["c9", "c9"],
+                "lang": ["py", "py"],
+                "content": ["red magenta magenta", "blue yellow"],
+            }
+        )
+        mixed = spark.createDataFrame(pd.concat([pdf.iloc[:10], extra], ignore_index=True))
+        meta = append_index(spark, mixed, d)
+        assert meta["n_docs"] == 22
+        assert meta["appends"][-1]["n_new"] == 2
+
+    def test_inconsistent_index_refused(self, spark, tmp_path):
+        from koncorde_spark.fulltext import fs
+        from koncorde_spark.fulltext.indexer import IndexConfig, append_index, build_index
+
+        rng = np.random.default_rng(7)
+        words = np.array("aa bb cc".split())
+        corpus, _ = self._corpus(spark, self._mk_docs(rng, 12, words, 6))
+        d = str(tmp_path / "idx")
+        build_index(spark, corpus, d, IndexConfig(n_shards=4), resume=False)
+        # simulate a crashed append: docs manifest lineage advanced, postings not
+        import json as _json
+
+        mpath = os.path.join(d, "_manifests", "docs", "shard-0.json")
+        m = _json.loads(fs.read_text(mpath))
+        m["lineage_xor"] = int(m["lineage_xor"]) ^ 12345
+        fs.write_text(mpath, _json.dumps(m))
+        with pytest.raises(RuntimeError, match="lineage mismatch"):
+            append_index(spark, corpus, d)
