@@ -189,3 +189,82 @@ def test_windowed_match_counts_append_mode(spark, tmp_path):
     # 5-min windows -> at least the first ~9 windows emitted
     assert len(got) >= 5
     assert all(int(r["count"]) == 5 for r in got)
+
+
+@pytest.mark.spark
+class TestStreamAppend:
+    def test_micro_batches_fold_into_index(self, spark, tmp_path):
+        """File-source stream → foreachBatch append_index: after two
+        micro-batches the index answers identically to a from-scratch
+        build over everything seen."""
+        import numpy as np
+        import pandas as pd
+
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.streaming.index_stream import stream_append
+
+        rng = np.random.default_rng(21)
+        words = np.array("alpha beta gamma delta import spark".split())
+
+        def corpus_pdf(tag, n, length):
+            return pd.DataFrame(
+                {
+                    "repo": [f"r{i % 2}" for i in range(n)],
+                    "path": [f"{tag}/{i}.py" for i in range(n)],
+                    "commit": ["c1"] * n,
+                    "lang": ["py"] * n,
+                    "content": [
+                        " ".join(rng.choice(words, size=length)) for _ in range(n)
+                    ],
+                }
+            )
+
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        batch1, batch2 = corpus_pdf("a", 25, 8), corpus_pdf("b", 15, 30)
+
+        idx_dir = str(tmp_path / "idx")
+        # seed index from batch1 (streams append to an EXISTING index)
+        build_index(
+            spark, spark.createDataFrame(batch1), idx_dir,
+            IndexConfig(n_shards=4), resume=False,
+        )
+
+        spark.createDataFrame(batch2).coalesce(1).write.parquet(
+            str(incoming / "b2"), mode="overwrite"
+        )
+        schema = spark.createDataFrame(batch1).schema
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(incoming))
+        q = stream_append(stream, idx_dir, checkpoint=str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        full_dir = str(tmp_path / "full")
+        build_index(
+            spark,
+            spark.createDataFrame(pd.concat([batch1, batch2], ignore_index=True)),
+            full_dir,
+            IndexConfig(n_shards=4),
+            resume=False,
+        )
+        inc, full = Bm25Index(spark, idx_dir), Bm25Index(spark, full_dir)
+        assert inc.meta["n_docs"] == full.meta["n_docs"] == 40
+        for qtext in ["alpha import", "beta gamma spark"]:
+            got = inc.topk(qtext, 10).toPandas()
+            want = full.topk(qtext, 10).toPandas()
+            assert list(got["doc_id"]) == list(want["doc_id"]), qtext
+            assert np.allclose(got["score"], want["score"], atol=1e-12)
+
+    def test_requires_streaming_df_and_schema(self, spark):
+        import pandas as pd
+
+        from koncorde_spark.streaming.index_stream import stream_append
+
+        static = spark.createDataFrame(pd.DataFrame({"repo": ["r"]}))
+        with pytest.raises(ValueError, match="streaming"):
+            stream_append(static, "/tmp/x", checkpoint="/tmp/c")
