@@ -782,15 +782,13 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
     t0 = time.time()
     old_pack = spark.read.parquet(dlpack_path)
 
-    def merge_pack(key, pack_iter, docs_pdf):
+    def merge_pack(key, pack_pdf, docs_pdf):
         shard = int(key[0])
-        packs = list(pack_iter) if not isinstance(pack_iter, pd.DataFrame) else [pack_iter]
         ids_parts, dls_parts = [], []
-        for pdf in packs:
-            for _, prow in pdf.iterrows():
-                n = int(prow["n"])
-                ids_parts.append(delta_decode(bytes(prow["doc_ids"]), n).astype(np.int64))
-                dls_parts.append(varint_decode(bytes(prow["dls"]), n).astype(np.int64))
+        for _, prow in pack_pdf.iterrows():
+            n = int(prow["n"])
+            ids_parts.append(delta_decode(bytes(prow["doc_ids"]), n).astype(np.int64))
+            dls_parts.append(varint_decode(bytes(prow["dls"]), n).astype(np.int64))
         if len(docs_pdf):
             ids_parts.append(docs_pdf["doc_id"].to_numpy(dtype=np.int64))
             dls_parts.append(docs_pdf["dl"].to_numpy(dtype=np.int64))
