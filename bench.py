@@ -260,6 +260,7 @@ def main():
             sc = S.run_protocol(scaling_rows, base_n=8, repeats=repeats, with_probe=True)
             out["scaling"] = sc
             out["efficiency"] = sc["scaling_efficiency_N_to_4N"]
+            out["efficiency_N_to_2N"] = sc["scaling_efficiency_N_to_2N"]
             out["bandwidth_probe"] = {
                 "before": sc["bandwidth_probe_before"],
                 "after": sc["bandwidth_probe_after"],
