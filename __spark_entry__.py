@@ -320,6 +320,21 @@ def _q_bm25_topk_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the documents-derived media table (one
+    row per sampled frame index + content lineage). Oracle:
+    multimodal.frame_sample_sql — identical explosion and sha."""
+    from koncorde_spark.pipeline import multimodal
+
+    media = multimodal.media_from_documents(spark, sf_dir)
+    fs = multimodal.frame_sample(media, every_n=10)
+    return fs.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "content_sha",
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_groups(docs)
@@ -468,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -544,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", ANN_QUERY_VEC, ANN_K, bits=6
         ),
         "media_features": _media_features_sql(),
+        "frame_sample": _frame_sample_sql(),
     }
     return out
 
@@ -552,6 +569,12 @@ def _media_features_sql() -> str:
     from koncorde_spark.pipeline.multimodal import media_features_sql
 
     return media_features_sql("documents")
+
+
+def _frame_sample_sql() -> str:
+    from koncorde_spark.pipeline.multimodal import frame_sample_sql
+
+    return frame_sample_sql("documents", every_n=10)
 
 
 def _dnfs(filters: list[dict]) -> dict[str, list[list[dict]]]:

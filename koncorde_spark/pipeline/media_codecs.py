@@ -108,6 +108,12 @@ def decode_png(data: bytes) -> np.ndarray:
             res = line
         elif f == 2:  # Up
             res = (line + prev) & 0xFF
+        elif f == 1:  # Sub: res[x] = line[x] + res[x-c] — a running sum per
+            # channel; uint8 cumsum wraps mod 256, exactly the spec
+            res = (
+                arr[y, 1:].reshape(w, c).cumsum(axis=0, dtype=np.uint8)
+                .reshape(stride).astype(np.int32)
+            )
         else:
             # Sub / Average / Paeth need the in-progress row: per-pixel scan,
             # vectorized over channels (c-wide steps)
@@ -117,9 +123,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 up = prev[x : x + c]
                 ul = prev[x - c : x] if x else np.zeros(c, dtype=np.int32)
                 seg = line[x : x + c]
-                if f == 1:  # Sub
-                    res[x : x + c] = (seg + left) & 0xFF
-                elif f == 3:  # Average
+                if f == 3:  # Average
                     res[x : x + c] = (seg + ((left + up) >> 1)) & 0xFF
                 elif f == 4:  # Paeth
                     p = left + up - ul

@@ -230,6 +230,19 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def frame_sample_sql(table: str, every_n: int = 10) -> str:
+    """DuckDB twin of frame_sample(media_from_documents(...)): the same
+    per-video frame-index explosion + content lineage (sha256 of the
+    text-derived payload), SQL-side via range unnest."""
+    return f"""
+    SELECT doc_id AS media_id,
+           unnest(range(0, (n_chars % 100 + 1)::BIGINT, {every_n})) AS frame_idx,
+           sha256(text) AS content_sha
+    FROM {table}
+    WHERE doc_id % 3 = 2
+    """
+
+
 FRAME_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
