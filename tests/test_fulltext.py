@@ -562,3 +562,46 @@ class TestAppendIndex:
         fs.write_text(mpath, _json.dumps(m))
         with pytest.raises(RuntimeError, match="lineage mismatch"):
             append_index(spark, corpus, d)
+
+    def test_two_sequential_appends_match_full_build(self, spark, tmp_path):
+        """append(A); append(B); append(C-chain): multi-generation segment
+        accumulation (3 avgdl_seg values live side-by-side) still answers
+        identically to one build over everything."""
+        from koncorde_spark.fulltext.indexer import IndexConfig, append_index, build_index
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        rng = np.random.default_rng(31)
+        words = np.array("kappa lambda mu nu import merge".split())
+        batches = []
+        for g, (n, length) in enumerate([(30, 10), (20, 60), (25, 5)]):
+            batches.append(
+                pd.DataFrame(
+                    {
+                        "repo": [f"r{i % 2}" for i in range(n)],
+                        "path": [f"g{g}/{i}.py" for i in range(n)],
+                        "commit": ["c"] * n,
+                        "lang": ["py"] * n,
+                        "content": [
+                            " ".join(rng.choice(words, size=length)) for _ in range(n)
+                        ],
+                    }
+                )
+            )
+        inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+        cfg = IndexConfig(n_shards=4)
+        build_index(spark, spark.createDataFrame(batches[0]), inc_dir, cfg, resume=False)
+        append_index(spark, spark.createDataFrame(batches[1]), inc_dir)
+        meta = append_index(spark, spark.createDataFrame(batches[2]), inc_dir)
+        assert meta["n_docs"] == 75 and len(meta["appends"]) == 2
+
+        build_index(
+            spark,
+            spark.createDataFrame(pd.concat(batches, ignore_index=True)),
+            full_dir, cfg, resume=False,
+        )
+        inc, full = Bm25Index(spark, inc_dir), Bm25Index(spark, full_dir)
+        assert abs(inc.meta["avgdl"] - full.meta["avgdl"]) < 1e-9
+        for q in ["kappa import", "lambda mu merge", "nu"]:
+            got, want = inc.topk(q, 12).toPandas(), full.topk(q, 12).toPandas()
+            assert list(got["doc_id"]) == list(want["doc_id"]), q
+            assert np.allclose(got["score"], want["score"], atol=1e-12)
