@@ -106,6 +106,16 @@ def main():
     extra["bm25_p95_sec"] = round(float(np.percentile(lat, 95)), 3)
     extra["bm25_p50_sec"] = round(float(np.percentile(lat, 50)), 3)
 
+    # same 10 queries as ONE batched job (shared scan + per-segment decode)
+    timed(
+        "bm25_topk_many_10",
+        lambda: idx.topk_many({f"q{i}": q for i, q in enumerate(qset)}, 10).collect(),
+    )
+    extra["bm25_batch_speedup"] = round(
+        queries["bm25_topk_x10"] / max(queries["bm25_topk_many_10"], 1e-9), 2
+    )
+
+
     # Spark-free serving tier over the same index (pyarrow + numpy WAND)
     from koncorde_spark.fulltext.serve import LocalSearcher
 
@@ -127,6 +137,20 @@ def main():
             id_col="path",
         ).collect(),
     )
+
+    # incremental append: fold 2k new docs into the 20k index (the 22k
+    # per-row-seeded corpus is a strict superset of the 20k one, so the
+    # anti-join appends exactly 2000). Runs AFTER the serve/brute numbers
+    # so those stay comparable round-over-round.
+    from koncorde_spark.fulltext.indexer import append_index
+
+    extra_corpus = synthetic_corpus_df(
+        spark, n_rows=corpus_rows + 2000, seed=42, partitions=cpus
+    ).cache()
+    extra_corpus.count()
+    meta_after = timed("bm25_append_2k", lambda: append_index(spark, extra_corpus, idx_dir))
+    assert meta_after["appends"][-1]["n_new"] == 2000, meta_after.get("appends")
+    extra["append_files_per_sec"] = round(2000 / queries["bm25_append_2k"], 1)
 
     # --- reference-shaped microbench: 10k equals filters ------------------
     # mirrors /root/reference/benchmark.js (10,000 random-string equals
