@@ -441,6 +441,15 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_catalyst(emb, ANN_QUERY_VEC, ANN_K, bits=6)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded-centroid coarse quantizer → probe top-4 lists →
+    exact cosine rescore. Oracle: ivf_topk_sql (identical centroid
+    literals, bit-identical sequential-fold dots → identical argmax
+    assignment, identical probe set and rounded cosine)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, ANN_QUERY_VEC, ANN_K, nprobe=4)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koncorde_spark.pipeline.multimodal import feature_extract, media_from_documents
 
@@ -482,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
     }
@@ -556,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_near_dup": similarity.embedding_near_dup_pairs_sql("embeddings"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
+        "ann_ivf": similarity.ivf_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K, nprobe=4),
         "ann_lsh": similarity.ann_topk_catalyst_sql(
             "embeddings", ANN_QUERY_VEC, ANN_K, bits=6
         ),

@@ -406,3 +406,158 @@ def embedding_near_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(dupes, id_col, "anti")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> probe top lists -> exact rescore
+# ---------------------------------------------------------------------------
+
+IVF_DEFAULT_LISTS = 16
+
+
+def ivf_random_centroids(dim: int, n_lists: int = IVF_DEFAULT_LISTS, seed: int = 42) -> list[list[float]]:
+    """Seeded unit-norm random centroids (data-independent coarse
+    quantizer). These make the full IVF machinery (assign → probe →
+    exact rescore) deterministic and therefore DuckDB-oracle-checkable;
+    ``ivf_train`` below produces better (data-adapted) centroids for the
+    recall-tested path."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def ivf_train(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = IVF_DEFAULT_LISTS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    iters: int = 10,
+    sample_size: int = 10_000,
+) -> list[list[float]]:
+    """Lloyd's k-means on a DETERMINISTIC driver-side sample (ordered by
+    id — `limit` without an order is partition-racy), spherical variant
+    (centroids renormalized per iteration, assignment by max dot — the
+    right geometry for cosine search). Empty clusters are reseeded
+    deterministically from the farthest points. At 100 TB the sample stays
+    driver-sized (the standard IVF recipe: train on ~10^5-10^6 vectors,
+    assign the full corpus distributively)."""
+    pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+            else:  # reseed from the globally worst-covered point
+                cent[j] = X[sims.max(axis=1).argmin()]
+    return [[float(x) for x in row] for row in cent]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, list_id): nearest-centroid assignment, pure Catalyst.
+
+    The per-centroid dots are projected to a column FIRST (Catalyst does
+    no CSE inside expressions — inlining the array twice for
+    array_position/array_max would evaluate every dot twice); first-max
+    tie-break matches DuckDB's list_position. list_id is 1-based."""
+    dots = F.array(*[_dot_expr(vec_col, c) for c in centroids])
+    return (
+        df.select(F.col(id_col), F.col(vec_col), dots.alias("__dots"))
+        .withColumn("list_id", F.expr("array_position(__dots, array_max(__dots))"))
+        .drop("__dots")
+    )
+
+
+def ivf_probe_lists(query_vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """Top-nprobe centroid indexes (1-based, matching ivf_assign) for a
+    query — driver-side, inlined as literals in BOTH engines."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = np.asarray(centroids, dtype=np.float64) @ q
+    order = np.argsort(-sims, kind="stable")[:nprobe]
+    return [int(i) + 1 for i in order]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: assign to coarse lists, probe the nprobe lists
+    nearest the query, exact cosine only within them. Candidate volume
+    drops ~n_lists/nprobe before any full-precision work — the standard
+    billion-vector shape (train driver-side, assign distributively,
+    bucket-prune the scan)."""
+    if centroids is None:
+        centroids = ivf_random_centroids(len(query_vec))
+    probes = ivf_probe_lists(query_vec, centroids, nprobe)
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cand = ivf_assign(df, centroids, vec_col, id_col).where(
+        F.col("list_id").isin(probes)
+    )
+    scored = cand.select(
+        F.col(id_col),
+        round_away(
+            _dot_expr(vec_col, query_vec) / (_norm_expr(vec_col) * F.lit(qn)), 9
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of ivf_topk: identical centroid literals, identical
+    sequential-fold dots (bit-identical → identical argmax/first-max
+    assignment), identical probe set, identical rounded cosine."""
+    if centroids is None:
+        centroids = ivf_random_centroids(len(query_vec))
+    probes = ivf_probe_lists(query_vec, centroids, nprobe)
+    dots = ", ".join(_plane_dot_sql(vec_col, c) for c in centroids)
+    q = "[" + ", ".join(f"{x!r}::DOUBLE" for x in query_vec) + "]"
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    probe_lit = ", ".join(str(p) for p in probes)
+    qdot = (
+        f"list_aggregate(list_transform(range(1, len({vec_col}) + 1),"
+        f" i -> {vec_col}[i]::DOUBLE * ({q})[i]), 'sum')"
+    )
+    nrm = (
+        f"sqrt(list_aggregate(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT {id_col}, {vec_col}, [{dots}] AS dots FROM {table}
+    ),
+    cand AS (
+      SELECT {id_col}, {vec_col}
+      FROM assigned
+      WHERE list_position(dots, list_max(dots)) IN ({probe_lit})
+    )
+    SELECT {id_col}, round({qdot} / ({nrm} * {qn!r}), 9) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, {id_col} ASC
+    LIMIT {k}
+    """

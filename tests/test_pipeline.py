@@ -516,3 +516,55 @@ class TestSampling:
         assert (100, 2) not in hits           # unrelated not flagged
         # near-copy shares a sizable shingle fraction
         assert hits.get((100, 3), 0) >= 0.5
+
+
+class TestIvfAnn:
+    def test_trained_centroids_recall(self, spark):
+        """Trained IVF at nprobe=4/16 lists must recover most of the true
+        top-k on clustered data (the geometry IVF exists for)."""
+        rng = np.random.default_rng(9)
+        # 8 well-separated clusters in 16d
+        centers = rng.standard_normal((8, 16)) * 6
+        vecs = np.concatenate(
+            [centers[i] + rng.standard_normal((100, 16)) for i in range(8)]
+        ).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+        )
+        df = spark.createDataFrame(pdf)
+        cents = similarity.ivf_train(df, dim=16, n_lists=16, seed=3, sample_size=800)
+        q = [float(x) for x in (centers[2] + rng.standard_normal(16) * 0.5)]
+        got = similarity.ivf_topk(df, q, 20, centroids=cents, nprobe=4).toPandas()
+        brute = similarity.cosine_topk(df, q, 20).toPandas()
+        recall = len(set(got["vec_id"]) & set(brute["vec_id"])) / 20
+        assert recall >= 0.9, recall
+
+    def test_seeded_centroid_duckdb_parity(self, spark):
+        """Random-centroid IVF (the oracle path): Spark result set equals
+        the DuckDB twin row-for-row."""
+        import duckdb
+
+        rng = np.random.default_rng(4)
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": range(300), "embedding": [v.tolist() for v in vecs]}
+        )
+        q = [float(x) for x in vecs[7]]
+        got = (
+            similarity.ivf_topk(spark.createDataFrame(pdf), q, 12, nprobe=3)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        want = con.execute(
+            similarity.ivf_topk_sql("embeddings", q, 12, nprobe=3)
+        ).df()
+        assert got["vec_id"].tolist() == want["vec_id"].tolist()
+        assert np.allclose(got["cosine"], want["cosine"], atol=0)
+
+    def test_probe_lists_deterministic(self):
+        cents = similarity.ivf_random_centroids(8, n_lists=4, seed=1)
+        p1 = similarity.ivf_probe_lists([1.0] * 8, cents, 2)
+        p2 = similarity.ivf_probe_lists([1.0] * 8, cents, 2)
+        assert p1 == p2 and len(p1) == 2 and all(1 <= x <= 4 for x in p1)
