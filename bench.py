@@ -251,6 +251,11 @@ def main():
     qv = [float(x) for x in vecs[0]]
     timed("ann_brute_50k", lambda: similarity.cosine_topk(emb, qv, 10).collect())
     timed("ann_lsh_50k", lambda: similarity.ann_topk(emb, qv, 10, bits=10).collect())
+    ivf_cents = similarity.ivf_train(emb, dim=64, n_lists=32, sample_size=5000)
+    timed(
+        "ann_ivf_50k",
+        lambda: similarity.ivf_topk(emb, qv, 10, centroids=ivf_cents, nprobe=4).collect(),
+    )
 
     total = round(sum(queries.values()), 3)
     out = {
