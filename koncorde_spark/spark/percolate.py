@@ -114,12 +114,7 @@ def percolate(
     # block-manager memory across a long-lived session. The handle is
     # attached AFTER broadcasting (the payload is serialized at creation),
     # so it never rides inside its own broadcast.
-    cached = getattr(index, "_percolate_bc", None)
-    if cached is not None and cached[0] is spark.sparkContext:
-        bc = cached[1]
-    else:
-        bc = spark.sparkContext.broadcast(index)
-        index._percolate_bc = (spark.sparkContext, bc)
+    bc = _index_broadcast(index, spark)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ci: CompiledIndex = bc.value
@@ -141,5 +136,82 @@ def percolate(
             for j, c in enumerate(keep_cols):
                 out[c] = pdf[f"__kp{j}"].iloc[rows].reset_index(drop=True)
             yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema=out_schema)
+
+
+def _index_broadcast(index: CompiledIndex, spark):
+    """One broadcast per (SparkContext, index) — see percolate()."""
+    cached = getattr(index, "_percolate_bc", None)
+    if cached is not None and cached[0] is spark.sparkContext:
+        return cached[1]
+    bc = spark.sparkContext.broadcast(index)
+    index._percolate_bc = (spark.sparkContext, bc)
+    return bc
+
+
+def percolate_json(
+    df: DataFrame,
+    index: CompiledIndex,
+    json_col: str = "json",
+    id_col: str = "doc_id",
+    result_col: str = "filter_id",
+    malformed: str = "skip",
+) -> DataFrame:
+    """Percolate documents carried as raw JSON strings — the reference's
+    native input shape (arbitrary schemaless JSON, e.g. a Kafka topic of
+    events), no DataFrame schema required.
+
+    Each Arrow batch parses its JSON rows to dicts and runs the SAME
+    vectorized matcher the local ``Koncorde.test`` path uses
+    (``CompiledIndex.match_docs``): flatten / nested / array / match /
+    select / geo semantics are identical by construction, and that kernel
+    is transitively covered by the typed-percolation DuckDB oracles plus
+    the ported reference fixtures. Works unchanged on streaming
+    DataFrames (stateless map).
+
+    ``malformed``: "skip" (default) drops rows that are not valid JSON
+    objects — the right behavior for a crawl firehose; "raise" fails the
+    task for strict pipelines.
+    """
+    import json as _json
+
+    if malformed not in ("skip", "raise"):
+        raise ValueError("malformed must be 'skip' or 'raise'")
+    spark = df.sparkSession
+    bc = _index_broadcast(index, spark)
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField(result_col, T.StringType())]
+    )
+    narrow = df.select(F.col(id_col).alias("__kid"), F.col(json_col).alias("__kjson"))
+    strict = malformed == "raise"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ci: CompiledIndex = bc.value
+        for pdf in batches:
+            docs: list[dict] = []
+            keep: list[int] = []
+            for i, s in enumerate(pdf["__kjson"]):
+                try:
+                    d = _json.loads(s)
+                    if not isinstance(d, dict):
+                        raise ValueError("JSON document must be an object")
+                except (TypeError, ValueError) as e:
+                    if strict:
+                        raise ValueError(f"malformed JSON document: {e}") from e
+                    continue
+                docs.append(d)
+                keep.append(i)
+            if not docs:
+                continue
+            matches = ci.match_docs(docs)
+            ids = pdf["__kid"].to_numpy()[keep]
+            out_ids, out_fids = [], []
+            for j, fids in enumerate(matches):
+                out_ids.extend([ids[j]] * len(fids))
+                out_fids.extend(fids)
+            if out_ids:
+                yield pd.DataFrame({id_col: out_ids, result_col: out_fids})
 
     return narrow.mapInPandas(run, schema=out_schema)

@@ -146,3 +146,79 @@ def test_missing_column_becomes_null(spark):
     by_doc = got.groupby("doc_id")["filter_id"].apply(set).to_dict()
     assert by_doc[1] == {f_missing, f_noteq}
     assert by_doc[2] == {f_missing, f_noteq}
+
+
+@pytest.mark.spark
+class TestPercolateJson:
+    def test_matches_typed_percolation(self, spark):
+        """percolate_json over to_json(rows) must produce the identical
+        pair set as typed percolate over the same rows (the JSON path
+        reuses the oracled matcher kernel)."""
+        from pyspark.sql import functions as F
+
+        from koncorde_spark import Koncorde
+        from koncorde_spark.spark.percolate import percolate, percolate_json
+
+        k = Koncorde()
+        k.register({"equals": {"event_type": "click"}})
+        k.register({"range": {"value": {"gte": 50, "lt": 100}}})
+        k.register({"and": [{"exists": "user.name"}, {"range": {"value": {"gt": 0}}}]})
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+        typed = percolate(ev, k.compiled(), id_col="event_id").toPandas()
+        jdf = ev.select(
+            "event_id", F.to_json(F.struct(*ev.columns)).alias("json")
+        )
+        viajson = percolate_json(
+            jdf, k.compiled(), json_col="json", id_col="event_id"
+        ).toPandas()
+        key = lambda d: sorted(map(tuple, d.itertuples(index=False)))
+        assert key(typed) == key(viajson)
+        assert len(typed) > 0
+
+    def test_schemaless_nested_and_arrays(self, spark):
+        """Arbitrary nested JSON with no schema: match/select/array
+        semantics flow through (no DataFrame schema exists to project)."""
+        import pandas as pd
+
+        from koncorde_spark import Koncorde
+        from koncorde_spark.spark.percolate import percolate_json
+
+        k = Koncorde()
+        f_match = k.register({"match": {"meta": {"env": "prod"}}})
+        f_sel = k.register(
+            {"select": {"field": "tags", "index": 0, "query": {"equals": {"value": "hot"}}}}
+        )
+        rows = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "json": [
+                    '{"meta": {"env": "prod", "extra": 1}, "tags": ["cold"]}',
+                    '{"tags": ["hot", "x"], "other": [1, 2]}',
+                    '{"meta": {"env": "dev"}}',
+                ],
+            }
+        )
+        got = percolate_json(spark.createDataFrame(rows), k.compiled(), json_col="json",
+                             id_col="doc_id").toPandas()
+        pairs = {(a, b) for a, b in got.itertuples(index=False)}
+        assert pairs == {(1, f_match), (2, f_sel)}
+
+    def test_malformed_skip_and_raise(self, spark):
+        import pandas as pd
+
+        from koncorde_spark import Koncorde
+        from koncorde_spark.spark.percolate import percolate_json
+
+        k = Koncorde()
+        fid = k.register({"equals": {"a": 1}})
+        rows = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "json": ['{"a": 1}', "{not json", "[1,2]", None]}
+        )
+        df = spark.createDataFrame(rows)
+        got = percolate_json(df, k.compiled(), json_col="json", id_col="doc_id").toPandas()
+        assert {(a, b) for a, b in got.itertuples(index=False)} == {(1, fid)}
+        with pytest.raises(Exception, match="malformed JSON"):
+            percolate_json(
+                df, k.compiled(), json_col="json", id_col="doc_id", malformed="raise"
+            ).collect()
