@@ -204,6 +204,19 @@ def _q_perc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_events_df(spark, sf_dir), k.compiled(), id_col="event_id")
 
 
+def _q_perc_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless path: the SAME events rows serialized to raw JSON and
+    percolated with percolate_json (match_docs kernel, no schema). The
+    oracle is the SAME SQL as perc_events — the two paths must agree
+    pair-for-pair."""
+    from koncorde_spark.spark.percolate import percolate_json
+
+    k = _build(EVENTS_FILTERS)
+    ev = _events_df(spark, sf_dir)
+    jdf = ev.select("event_id", F.to_json(F.struct(*ev.columns)).alias("json"))
+    return percolate_json(jdf, k.compiled(), json_col="json", id_col="event_id")
+
+
 def _q_perc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _build(LINEITEM_FILTERS)
     return percolate(_lineitem_df(spark, sf_dir), k.compiled(), id_col="line_id")
@@ -466,6 +479,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "perc_events": _q_perc_events,
+        "perc_events_json": _q_perc_events_json,
         "perc_lineitem": _q_perc_lineitem,
         "perc_documents": _q_perc_documents,
         "perc_geo_bbox": _q_perc_geo_bbox,
@@ -528,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out = {
         "perc_events": percolation_oracle_sql(
+            _dnfs(EVENTS_FILTERS), _EVENTS_ORACLE_TABLE, "event_id"
+        ),
+        "perc_events_json": percolation_oracle_sql(
             _dnfs(EVENTS_FILTERS), _EVENTS_ORACLE_TABLE, "event_id"
         ),
         "perc_lineitem": percolation_oracle_sql(
