@@ -268,3 +268,53 @@ class TestStreamAppend:
         static = spark.createDataFrame(pd.DataFrame({"repo": ["r"]}))
         with pytest.raises(ValueError, match="streaming"):
             stream_append(static, "/tmp/x", checkpoint="/tmp/c")
+
+
+@pytest.mark.spark
+class TestStreamingJsonPercolation:
+    def test_json_stream_percolates(self, spark, tmp_path):
+        """percolate_json on a streaming DataFrame: raw JSON files stream
+        in, matched (id, filter_id) pairs stream out — the Kafka-shaped
+        schemaless ingestion path."""
+        import pandas as pd
+
+        from koncorde_spark import Koncorde
+        from koncorde_spark.spark.percolate import percolate_json
+
+        k = Koncorde()
+        f_click = k.register({"equals": {"event_type": "click"}})
+        f_deep = k.register({"exists": "user.name"})
+
+        src = tmp_path / "in"
+        src.mkdir()
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "json": [
+                    '{"event_type": "click"}',
+                    '{"user": {"name": "ada"}, "event_type": "view"}',
+                    "not valid json",
+                ],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "b1"))
+        schema = spark.createDataFrame(pdf).schema
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        out = percolate_json(stream, k.compiled(), json_col="json", id_col="doc_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("json_perc")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select * from json_perc").toPandas()
+        assert {(a, b) for a, b in got.itertuples(index=False)} == {
+            (1, f_click),
+            (2, f_deep),
+        }
