@@ -882,3 +882,49 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
     )
     fs.write_json(meta_path, meta)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# deletions (tombstones)
+# ---------------------------------------------------------------------------
+
+
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> int:
+    """Mark documents deleted via an append-only tombstone table.
+
+    Lucene-style lifecycle: postings bytes are immutable; deletes append
+    doc_ids to ``<out_dir>/tombstones`` and every query tier filters
+    posting entries against the set at decode time. Corpus statistics
+    (N, avgdl, df) intentionally do NOT shrink until a rebuild — exactly
+    the standard searcher behavior between merges — so the surviving
+    docs' scores are unchanged by a delete (pinned in tests). A re-append
+    of a tombstoned identity stays deleted (the docs row still exists);
+    rebuilding from the corrected corpus is the compaction path.
+
+    ``doc_ids``: iterable of ints or a single-column DataFrame.
+    Returns the number of tombstones written (duplicates are dropped at
+    read time, so re-deleting is harmless).
+    """
+    import pandas as pd
+
+    path = os.path.join(out_dir, "tombstones")
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.toDF("doc_id")
+    else:
+        ids = [int(x) for x in doc_ids]
+        if not ids:
+            return 0
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    df = df.select(F.col("doc_id").cast("long"))
+    n = df.count()
+    df.coalesce(1).write.mode("append").parquet(path)
+    return n
+
+
+def read_tombstones(spark: SparkSession, out_dir: str) -> np.ndarray:
+    """Sorted distinct tombstoned doc_ids (empty array when none)."""
+    path = os.path.join(out_dir, "tombstones")
+    if not fs.exists(path):
+        return np.empty(0, dtype=np.int64)
+    pdf = spark.read.parquet(path).toPandas()
+    return np.unique(pdf["doc_id"].to_numpy(dtype=np.int64))

@@ -51,6 +51,7 @@ def _decode_shard_postings(
     b: float,
     avgdl: float,
     block_size: int,
+    tombstones: np.ndarray | None = None,
 ) -> dict[str, list[TermPostings]]:
     """Decode one shard's postings rows into per-term TermPostings LISTS.
 
@@ -60,7 +61,14 @@ def _decode_shard_postings(
     posting list (collapsing them per term would silently drop all but
     one segment). Shared by topk() and topk_many(): the expensive part
     (varint/delta decode + tf normalization) happens once per segment,
-    and every query in a batch reuses the decoded structures."""
+    and every query in a batch reuses the decoded structures.
+
+    ``tombstones`` (sorted doc_ids): deleted entries are dropped per
+    segment and the segment's block metadata is REBUILT from the
+    surviving per-entry scores — the stored block arrays are addressed by
+    entry position, so filtering without rebuilding would misalign the
+    WAND skip bounds. Rebuilt bounds are exact (no avgdl correction
+    needed: they come from the current-avgdl scores)."""
     prow = pack_pdf.iloc[0]
     n_pack = int(prow["n"])
     dl_ids = delta_decode(bytes(prow["doc_ids"]), n_pack).astype(np.int64)
@@ -80,10 +88,26 @@ def _decode_shard_postings(
         # scaling by max(1, that) keeps the bound valid and WAND exact.
         seg = row["avgdl_seg"] if "avgdl_seg" in row.index else None
         bound_scale = max(1.0, avgdl / float(seg)) if seg and seg > 0 else 1.0
+        scores = idf * tfpart
+        if tombstones is not None and len(tombstones):
+            pos = np.searchsorted(tombstones, ids)
+            keep = tombstones[np.minimum(pos, len(tombstones) - 1)] != ids
+            if not keep.all():
+                ids, scores = ids[keep], scores[keep]
+                if len(ids) == 0:
+                    continue
+                nb = (len(ids) + block_size - 1) // block_size
+                starts = np.arange(nb) * block_size
+                block_last = ids[np.minimum(starts + block_size - 1, len(ids) - 1)]
+                block_ub = np.maximum.reduceat(scores, starts)
+                out.setdefault(row["term"], []).append(
+                    TermPostings(ids, scores, block_last, block_ub, block_size)
+                )
+                continue
         out.setdefault(row["term"], []).append(
             TermPostings(
                 doc_ids=ids,
-                scores=idf * tfpart,
+                scores=scores,
                 block_last=np.asarray(row["block_last"], dtype=np.int64),
                 block_ub=idf * bound_scale * np.asarray(row["block_max"], dtype=np.float64),
                 block_size=block_size,
@@ -109,6 +133,11 @@ class Bm25Index:
         # is small enough (a dict probe replaces one Spark job per query);
         # None = not yet decided, False = too large, stay distributed
         self._terms_local: dict | None | bool = None
+        # deleted doc ids (sorted), shipped to executors inside the query
+        # closures; empty for indexes without deletes
+        from .indexer import read_tombstones
+
+        self.tombstones = read_tombstones(spark, index_dir)
 
     # vocabularies up to this size are cached driver-side (~tens of MB);
     # beyond it df lookups stay distributed (the 10^12-file regime)
@@ -156,13 +185,14 @@ class Bm25Index:
         k1_, b_, bs_, avgdl_ = k1, b, block_size, avgdl
         idf_map_b = idf_map
         k_ = k
+        tomb = self.tombstones
 
         def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(post_pdf) == 0 or len(pack_pdf) == 0:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float64")})
             by_term = _decode_shard_postings(
-                post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_
+                post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_, tomb
             )
             tps = [tp for segs in by_term.values() for tp in segs]
             ids, scores = topk_block_max_wand(tps, k_)
@@ -212,6 +242,7 @@ class Bm25Index:
         relevant = self.postings.where(F.col("term").isin(list(idf_map)))
         k1_, b_, bs_, avgdl_, k_ = k1, b, block_size, avgdl, k
         idf_map_b, q_terms_b = idf_map, q_terms
+        tomb = self.tombstones
 
         def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
@@ -224,7 +255,7 @@ class Bm25Index:
             if len(post_pdf) == 0 or len(pack_pdf) == 0:
                 return empty
             by_term = _decode_shard_postings(
-                post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_
+                post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_, tomb
             )
             frames = []
             for qid, ts in q_terms_b.items():

@@ -23,6 +23,18 @@ import pyarrow.dataset as ds
 from .codecs import delta_decode, varint_decode
 from .indexer import read_meta
 from .tokenizer import tokenize_text
+
+import numpy as _np
+import pyarrow.dataset as _ds
+import os as _os
+
+
+def _local_tombstones(index_dir: str) -> "_np.ndarray":
+    path = _os.path.join(index_dir, "tombstones")
+    if not _os.path.exists(path):
+        return _np.empty(0, dtype=_np.int64)
+    tbl = _ds.dataset(path, format="parquet").to_table()
+    return _np.unique(_np.asarray(tbl["doc_id"].to_pylist(), dtype=_np.int64))
 from .wand import TermPostings, bm25_idf, topk_block_max_wand
 
 
@@ -37,6 +49,7 @@ class LocalSearcher:
         tbl = ds.dataset(os.path.join(index_dir, "terms"), format="parquet").to_table()
         self._df = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
         # per-shard doc-length packs, decoded once
+        self._tombstones = _local_tombstones(index_dir)
         pack = ds.dataset(os.path.join(index_dir, "dlpack"), format="parquet").to_table()
         self._dl: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for shard, n, ids_b, dls_b in zip(
@@ -81,10 +94,30 @@ class LocalSearcher:
             # the two tiers bit-identical across appends)
             seg = tbl["avgdl_seg"][i].as_py() if "avgdl_seg" in tbl.column_names else None
             bscale = max(1.0, avgdl / float(seg)) if seg else 1.0
+            scores = idf[term] * tfpart
+            tomb = self._tombstones
+            if len(tomb):
+                pos = np.searchsorted(tomb, ids)
+                keep = tomb[np.minimum(pos, len(tomb) - 1)] != ids
+                if not keep.all():
+                    ids, scores = ids[keep], scores[keep]
+                    if len(ids) == 0:
+                        continue
+                    # rebuild position-addressed block metadata (exact)
+                    nb = (len(ids) + bs - 1) // bs
+                    starts = np.arange(nb) * bs
+                    by_shard.setdefault(shard, []).append(
+                        TermPostings(
+                            ids, scores,
+                            ids[np.minimum(starts + bs - 1, len(ids) - 1)],
+                            np.maximum.reduceat(scores, starts), bs,
+                        )
+                    )
+                    continue
             by_shard.setdefault(shard, []).append(
                 TermPostings(
                     doc_ids=ids,
-                    scores=idf[term] * tfpart,
+                    scores=scores,
                     block_last=np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
                     block_ub=idf[term] * bscale * np.asarray(tbl["block_max"][i].as_py()),
                     block_size=bs,

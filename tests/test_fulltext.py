@@ -605,3 +605,79 @@ class TestAppendIndex:
             got, want = inc.topk(q, 12).toPandas(), full.topk(q, 12).toPandas()
             assert list(got["doc_id"]) == list(want["doc_id"]), q
             assert np.allclose(got["score"], want["score"], atol=1e-12)
+
+
+@pytest.mark.spark
+class TestDeletions:
+    def test_deleted_docs_vanish_scores_frozen(self, spark, tmp_path):
+        """Deleting docs removes them from results while every surviving
+        doc keeps its EXACT pre-delete score and order (stats frozen until
+        rebuild — the Lucene-style contract), in BOTH query tiers."""
+        from koncorde_spark.fulltext.indexer import (
+            IndexConfig, build_index, delete_docs,
+        )
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        rng = np.random.default_rng(13)
+        words = np.array("pi rho sigma tau import".split())
+        pdf = pd.DataFrame(
+            {
+                "repo": [f"r{i % 2}" for i in range(50)],
+                "path": [f"p/{i}.py" for i in range(50)],
+                "commit": ["c"] * 50,
+                "lang": ["py"] * 50,
+                "content": [
+                    " ".join(rng.choice(words, size=int(rng.integers(5, 20))))
+                    for _ in range(50)
+                ],
+            }
+        )
+        d = str(tmp_path / "idx")
+        build_index(spark, spark.createDataFrame(pdf), d, IndexConfig(n_shards=4), resume=False)
+        idx = Bm25Index(spark, d)
+        before = idx.topk("pi sigma import", 20).toPandas()
+        victims = [int(x) for x in before["doc_id"].iloc[:3]]
+        assert delete_docs(spark, d, victims) == 3
+
+        idx2 = Bm25Index(spark, d)  # fresh handle reads tombstones
+        after = idx2.topk("pi sigma import", 20).toPandas()
+        assert not (set(victims) & set(after["doc_id"]))
+        surv_before = before[~before["doc_id"].isin(victims)].reset_index(drop=True)
+        m = min(len(surv_before), len(after))
+        assert list(after["doc_id"].iloc[:m]) == list(surv_before["doc_id"].iloc[:m])
+        assert np.allclose(after["score"].iloc[:m], surv_before["score"].iloc[:m], atol=0)
+
+        s = LocalSearcher(d).topk("pi sigma import", 20)
+        assert [doc for doc, _ in s] == list(after["doc_id"])
+
+        # batched path honors tombstones too
+        many = idx2.topk_many({"q": "pi sigma import"}, 20).toPandas()
+        assert list(many.sort_values(["score", "doc_id"], ascending=[False, True])["doc_id"]) == list(after["doc_id"])
+
+    def test_redelete_and_delete_all_term_docs(self, spark, tmp_path):
+        from koncorde_spark.fulltext.indexer import (
+            IndexConfig, build_index, delete_docs,
+        )
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r"] * 4,
+                "path": [f"p/{i}.py" for i in range(4)],
+                "commit": ["c"] * 4,
+                "lang": ["py"] * 4,
+                "content": ["unique_term filler", "unique_term other",
+                            "different words here", "more different text"],
+            }
+        )
+        d = str(tmp_path / "idx")
+        build_index(spark, spark.createDataFrame(pdf), d, IndexConfig(n_shards=2), resume=False)
+        idx = Bm25Index(spark, d)
+        hits = idx.topk("unique_term", 5).toPandas()
+        assert len(hits) == 2
+        delete_docs(spark, d, [int(x) for x in hits["doc_id"]])
+        delete_docs(spark, d, [int(hits["doc_id"].iloc[0])])  # re-delete: harmless
+        idx2 = Bm25Index(spark, d)
+        assert idx2.topk("unique_term", 5).count() == 0  # all postings tombstoned
+        assert idx2.topk("different", 5).count() > 0  # others unaffected
