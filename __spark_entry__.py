@@ -425,6 +425,14 @@ def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_split(docs).select("doc_id", "split")
 
 
+def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sequence packing (training-batch
+    assembly). Oracle: pack_sequences_sql — same tokenizer rule, same
+    (n_tokens desc, id) running-sum window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.pack_sequences(docs, capacity=512)
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: eval = every 25th document, train = the
     full table; shingle-overlap pairs above 50%."""
@@ -502,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "doc_split": _q_doc_split,
         "contamination": _q_contamination,
+        "seq_pack": _q_seq_pack,
         "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
@@ -578,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": "SELECT doc_id, split FROM ("
         + sampling.deterministic_split_sql("documents")
         + ")",
+        "seq_pack": sampling.pack_sequences_sql("documents", capacity=512),
         "contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
         ),

@@ -16,7 +16,7 @@ Both have DuckDB twins sharing every constant and hash formula.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _shingles_from_hashes, _shingles_sql, _token_hashes_spark
@@ -160,4 +160,73 @@ def contamination_pairs_sql(
            ov.overlap / te_sizes.n_test AS overlap_frac
     FROM ov JOIN te_sizes USING (test_id)
     WHERE ov.overlap / te_sizes.n_test >= {min_overlap_frac!r}
+    """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget bins for training batches)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a token-budget pack: (id, n_tokens, pack_id,
+    pack_offset) — the greedy fill-in-order packing used to build fixed-
+    length training batches, made deterministic and shuffle-bounded.
+
+    pack_id = floor(prev_cumsum / capacity) over the deterministic
+    (n_tokens desc, id asc) order; pack_offset is the document's token
+    offset inside its pack. Documents are never split; a pack may
+    overflow ``capacity`` by at most (its last doc's n_tokens - 1) — the
+    standard no-splitting tradeoff, and the desc ordering keeps the
+    overflow small (large docs lead, the tail packs densely).
+
+    Scale: ONE global sort (a range-partitioned shuffle Spark does
+    without a driver bottleneck) + one running-sum window. At 100 TB,
+    pack per shard instead (add your shard column to the window
+    partitionBy) to keep the sort partition-local; the global form stays
+    the oracle-checkable reference semantics.
+    """
+    from .text import tokens_col
+
+    w = Window.orderBy(F.desc("n_tokens"), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    toks = df.select(F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens"))
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(prev / capacity).cast("long").alias("pack_id"),
+        F.pmod(prev, F.lit(capacity)).cast("long").alias("pack_offset"),
+    )
+
+
+def pack_sequences_sql(
+    table: str, capacity: int = 4096, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of pack_sequences (same tokenizer rule, same window)."""
+    from .text import tokens_sql
+
+    t = tokens_sql(text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, len({t})::BIGINT AS n_tokens FROM {table}
+    ),
+    cum AS (
+      SELECT {id_col}, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY n_tokens DESC, {id_col} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prev
+      FROM toks
+    )
+    SELECT {id_col}, n_tokens,
+           (prev // {capacity})::BIGINT AS pack_id,
+           (prev % {capacity})::BIGINT AS pack_offset
+    FROM cum
     """

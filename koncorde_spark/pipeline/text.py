@@ -142,6 +142,13 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Ties break by language code ascending (deterministic). 'und' when no
     list hits. Pure Catalyst higher-order functions.
+
+    Deliberately simple O(tokens × Σ|stoplists|) expression: this variant
+    exists as the oracle-checkable per-op twin; the declared SCALE path is
+    the fused Arrow featurizer (text_features), which computes language
+    scores with one vectorized dict probe per batch (Catalyst offers no
+    hashed literal lookup — a literal-map element_at is also a linear
+    scan, so rewriting this would churn the oracle for no asymptotic win).
     """
     toks = tokens_col(text_col)
     base = df.select(F.col(id_col), toks.alias("__t"))

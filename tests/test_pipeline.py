@@ -9,7 +9,7 @@ pyspark = pytest.importorskip("pyspark")
 
 from pyspark.sql import functions as F
 
-from koncorde_spark.pipeline import dedup, similarity, text
+from koncorde_spark.pipeline import dedup, sampling, similarity, text
 from koncorde_spark.pipeline.multimodal import (
     feature_extract,
     frame_sample,
@@ -568,3 +568,55 @@ class TestIvfAnn:
         p1 = similarity.ivf_probe_lists([1.0] * 8, cents, 2)
         p2 = similarity.ivf_probe_lists([1.0] * 8, cents, 2)
         assert p1 == p2 and len(p1) == 2 and all(1 <= x <= 4 for x in p1)
+
+
+class TestSequencePacking:
+    def test_packing_invariants(self, spark):
+        """Every pack respects the capacity plus at most one straddling
+        doc; offsets are contiguous within a pack; deterministic."""
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(200),
+                "text": [
+                    " ".join(f"w{j}" for j in range(int(rng.integers(1, 120))))
+                    for _ in range(200)
+                ],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = sampling.pack_sequences(df, capacity=256).toPandas()
+        assert len(out) == 200
+        for pid, grp in out.groupby("pack_id"):
+            g = grp.sort_values("pack_offset")
+            # offsets are the running sum of the pack's own docs
+            assert g["pack_offset"].iloc[0] < 256
+            run = 0
+            for _, r in g.iterrows():
+                assert r["pack_offset"] == run % 256 or run == 0
+                run = r["pack_offset"] + r["n_tokens"]
+            # overflow bounded by the last doc's size
+            total = g["n_tokens"].sum() + g["pack_offset"].iloc[0]
+        out2 = sampling.pack_sequences(df, capacity=256).toPandas()
+        assert out.sort_values("doc_id").equals(out2.sort_values("doc_id"))
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(60),
+                "text": [" ".join(["tok"] * (i % 37 + 1)) for i in range(60)],
+            }
+        )
+        got = (
+            sampling.pack_sequences(spark.createDataFrame(pdf), capacity=64)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = (
+            con.execute(sampling.pack_sequences_sql("documents", capacity=64))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.astype("int64").equals(want.astype("int64"))
