@@ -5,7 +5,9 @@
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS  (default 32),
      BENCH_CORPUS_ROWS (default 20000) synthetic corpus size for the
-     index-build / dedup measurements.
+     index-build / dedup measurements,
+     BENCH_SCALING=0 to skip the embedded scaling protocol,
+     BENCH_SCALING_ROWS (default 96000) / BENCH_SCALING_REPEATS (default 2).
 """
 
 from __future__ import annotations
