@@ -425,6 +425,20 @@ def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_split(docs).select("doc_id", "split")
 
 
+def _q_vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 corpus bigrams with counts + doc frequency (tokenizer-
+    training prep). Oracle: vocab_topk_sql, same tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.vocab_topk(docs, k=30, ngram=2)
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite corpus cleaning with auditable per-rule
+    reasons. Oracle: quality_filter_sql, same metric SQL + rule order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_filter(docs)
+
+
 def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget sequence packing (training-batch
     assembly). Oracle: pack_sequences_sql — same tokenizer rule, same
@@ -511,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _q_doc_split,
         "contamination": _q_contamination,
         "seq_pack": _q_seq_pack,
+        "vocab_bigrams": _q_vocab_bigrams,
+        "quality_filter": _q_quality_filter,
         "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
@@ -588,6 +604,8 @@ def oracle_sql() -> dict[str, str]:
         + sampling.deterministic_split_sql("documents")
         + ")",
         "seq_pack": sampling.pack_sequences_sql("documents", capacity=512),
+        "vocab_bigrams": text.vocab_topk_sql("documents", k=30, ngram=2),
+        "quality_filter": text.quality_filter_sql("documents"),
         "contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
         ),

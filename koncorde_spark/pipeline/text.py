@@ -397,3 +397,138 @@ def text_features_sql(table: str, text_col: str = "text", id_col: str = "doc_id"
            ('0x' || substr(md5({norm}), 1, 15))::BIGINT AS fp_int
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    ngram: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus n-grams by total count: (ngram, count, doc_freq).
+
+    The BPE/tokenizer-training prep statistic. Shape at 100 TB: tokenize →
+    explode → ONE hash aggregate (map-side partial combine handles the
+    zipf head; the shuffle carries (ngram, partial-count) pairs, not
+    tokens) → a tiny global top-k sort-limit. Ties break by ngram
+    ascending for cross-engine determinism.
+    """
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("__t"))
+    if ngram > 1:
+        grams = F.expr(
+            f"CASE WHEN size(__t) >= {ngram} THEN transform("
+            f"sequence(1, size(__t) - {ngram - 1}),"
+            f" i -> concat_ws(' ', slice(__t, i, {ngram}))) "
+            f"ELSE array() END"
+        )
+        toks = toks.select(id_col, grams.alias("__t"))
+    exploded = toks.select(id_col, F.explode("__t").alias("ngram"))
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+        .orderBy(F.desc("count"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def vocab_topk_sql(
+    table: str, k: int = 100, ngram: int = 1,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    t = tokens_sql(text_col)
+    if ngram == 1:
+        grams = f"unnest({t})"
+        src = f"SELECT {id_col}, {grams} AS ngram FROM {table}"
+    else:
+        src = f"""
+        SELECT {id_col},
+               unnest(CASE WHEN len(toks) >= {ngram} THEN
+                 list_transform(range(1, len(toks) - {ngram - 1} + 1),
+                   i -> array_to_string(toks[i:i+{ngram - 1}], ' '))
+                 ELSE [] END) AS ngram
+        FROM (SELECT {id_col}, {t} AS toks FROM {table})
+        """
+    return f"""
+    SELECT ngram, count(*)::BIGINT AS count,
+           count(DISTINCT {id_col})::BIGINT AS doc_freq
+    FROM ({src})
+    GROUP BY ngram
+    ORDER BY count DESC, ngram ASC
+    LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# composite quality filter (C4-style corpus cleaning)
+# ---------------------------------------------------------------------------
+
+QUALITY_DEFAULTS = {
+    "min_tokens": 5,
+    "max_punct_ratio": 0.3,
+    "min_stopword_ratio": 0.0,
+    "min_lexical_diversity": 0.2,
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """C4-style corpus cleaning: (id, kept, reason) per document.
+
+    Rules compose from the quality_score metrics; the FIRST failing rule
+    (fixed order: tokens → punct → stopword → diversity) names the
+    reason, 'ok' when kept — so the filter is auditable (per-reason drop
+    counts are one groupBy away). Thresholds override QUALITY_DEFAULTS.
+    One Catalyst pass, no UDF."""
+    th = {**QUALITY_DEFAULTS, **thresholds}
+    q = quality_score(df, text_col, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < th["min_tokens"], "too_few_tokens")
+        .when(F.col("punct_ratio") > th["max_punct_ratio"], "too_much_punct")
+        .when(F.col("stopword_ratio") < th["min_stopword_ratio"], "too_few_stopwords")
+        .when(F.col("lexical_diversity") < th["min_lexical_diversity"], "low_diversity")
+        .otherwise("ok")
+    )
+    return q.select(
+        id_col,
+        reason.alias("reason"),
+        (reason == "ok").alias("kept"),
+    )
+
+
+def quality_filter_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", **thresholds
+) -> str:
+    """DuckDB twin of quality_filter (same metrics SQL, same rule order)."""
+    th = {**QUALITY_DEFAULTS, **thresholds}
+    qs = quality_score_sql(table, text_col, id_col)
+    return f"""
+    SELECT {id_col},
+           CASE
+             WHEN n_tokens < {th["min_tokens"]} THEN 'too_few_tokens'
+             WHEN punct_ratio > {th["max_punct_ratio"]!r} THEN 'too_much_punct'
+             WHEN stopword_ratio < {th["min_stopword_ratio"]!r} THEN 'too_few_stopwords'
+             WHEN lexical_diversity < {th["min_lexical_diversity"]!r} THEN 'low_diversity'
+             ELSE 'ok'
+           END AS reason,
+           CASE
+             WHEN n_tokens < {th["min_tokens"]} THEN false
+             WHEN punct_ratio > {th["max_punct_ratio"]!r} THEN false
+             WHEN stopword_ratio < {th["min_stopword_ratio"]!r} THEN false
+             WHEN lexical_diversity < {th["min_lexical_diversity"]!r} THEN false
+             ELSE true
+           END AS kept
+    FROM ({qs})
+    """

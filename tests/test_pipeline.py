@@ -620,3 +620,48 @@ class TestSequencePacking:
             .df().sort_values("doc_id").reset_index(drop=True)
         )
         assert got.astype("int64").equals(want.astype("int64"))
+
+
+class TestVocabAndQualityFilter:
+    def test_vocab_counts(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["a b a b c", "a x"]}
+        )
+        out = text.vocab_topk(spark.createDataFrame(pdf), k=10).toPandas()
+        row = out.set_index("ngram")
+        assert row.loc["a", "count"] == 3 and row.loc["a", "doc_freq"] == 2
+        assert row.loc["b", "count"] == 2 and row.loc["b", "doc_freq"] == 1
+        # tie-break: count desc then ngram asc
+        assert out["ngram"].iloc[0] == "a"
+
+    def test_vocab_bigrams(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1], "text": ["a b a b"]})
+        out = text.vocab_topk(spark.createDataFrame(pdf), k=5, ngram=2).toPandas()
+        m = dict(zip(out["ngram"], out["count"]))
+        assert m == {"a b": 2, "b a": 1}
+
+    def test_quality_filter_reasons(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over a lazy dog today fine",
+                    "a b",  # too few tokens
+                    "w " * 50,  # 50 identical tokens -> low diversity
+                ],
+            }
+        )
+        out = (
+            text.quality_filter(spark.createDataFrame(pdf))
+            .toPandas().set_index("doc_id")
+        )
+        assert bool(out.loc[1, "kept"]) and out.loc[1, "reason"] == "ok"
+        assert out.loc[2, "reason"] == "too_few_tokens"
+        assert out.loc[3, "reason"] == "low_diversity"
+
+    def test_quality_filter_threshold_override(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1], "text": ["one two three"]})
+        out = text.quality_filter(
+            spark.createDataFrame(pdf), min_tokens=10
+        ).toPandas()
+        assert out["reason"].iloc[0] == "too_few_tokens"
