@@ -813,6 +813,12 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
     )
     fs.delete(dlpack_path)
     fs.rename(staging, dlpack_path)
+    # the swap happened at the filesystem level, OUTSIDE Spark's writers —
+    # without an explicit refresh, a dlpack DataFrame cached by any open
+    # Bm25Index handle keeps answering for this path and later reads
+    # plan-cache-hit the STALE pre-merge pack (Spark only auto-refreshes
+    # paths written through its own InsertInto commands)
+    spark.catalog.refreshByPath(dlpack_path)
     _write_manifests(
         out_dir,
         "dlpack",
@@ -903,7 +909,10 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> int:
 
     ``doc_ids``: iterable of ints or a single-column DataFrame.
     Returns the number of tombstones written (duplicates are dropped at
-    read time, so re-deleting is harmless).
+    read time, so re-deleting is harmless). Query handles read the
+    tombstone set at construction — open a fresh Bm25Index/LocalSearcher
+    after deleting (a long-lived searcher keeps serving its snapshot,
+    which is also the behavior you want mid-query).
     """
     import pandas as pd
 

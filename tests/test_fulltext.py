@@ -681,3 +681,40 @@ class TestDeletions:
         idx2 = Bm25Index(spark, d)
         assert idx2.topk("unique_term", 5).count() == 0  # all postings tombstoned
         assert idx2.topk("different", 5).count() > 0  # others unaffected
+
+    def test_delete_then_append_interplay(self, spark, tmp_path):
+        """Tombstones survive an append: deleted docs stay gone, newly
+        appended docs are searchable, and a tombstoned identity that is
+        re-appended stays deleted (docs row exists -> anti-join skips;
+        rebuild is the resurrection path)."""
+        from koncorde_spark.fulltext.indexer import (
+            IndexConfig, append_index, build_index, delete_docs,
+        )
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        base = pd.DataFrame(
+            {
+                "repo": ["r"] * 3,
+                "path": [f"p/{i}.py" for i in range(3)],
+                "commit": ["c"] * 3,
+                "lang": ["py"] * 3,
+                "content": ["zeta common", "zeta other", "unrelated words"],
+            }
+        )
+        d = str(tmp_path / "idx")
+        build_index(spark, spark.createDataFrame(base), d, IndexConfig(n_shards=2), resume=False)
+        idx = Bm25Index(spark, d)
+        victim = int(idx.topk("zeta", 3).toPandas()["doc_id"].iloc[0])
+        delete_docs(spark, d, [victim])
+
+        extra = base.iloc[:1].copy()  # re-append the (possibly) deleted identity...
+        extra2 = pd.DataFrame(
+            {"repo": ["r"], "path": ["new/x.py"], "commit": ["c"],
+             "lang": ["py"], "content": ["zeta fresh"]}
+        )
+        append_index(spark, spark.createDataFrame(pd.concat([extra, extra2], ignore_index=True)), d)
+
+        idx2 = Bm25Index(spark, d)
+        got = idx2.topk("zeta", 10).toPandas()
+        assert victim not in set(got["doc_id"])  # still deleted
+        assert len(got) == 2  # the surviving original + the fresh append
