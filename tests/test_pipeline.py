@@ -665,3 +665,49 @@ class TestVocabAndQualityFilter:
             spark.createDataFrame(pdf), min_tokens=10
         ).toPandas()
         assert out["reason"].iloc[0] == "too_few_tokens"
+
+
+class TestSequencePackingFuzz:
+    def test_duckdb_twin_matches_python_reference(self):
+        """Property fuzz (no Spark): the SQL twin's packing equals a
+        direct python re-implementation of the greedy fill-in-order
+        semantics over random corpora — capacities, ties, empty docs."""
+        import random
+
+        import duckdb
+
+        from koncorde_spark.fulltext.tokenizer import tokenize_text
+        from koncorde_spark.pipeline.sampling import pack_sequences_sql
+
+        rng = random.Random(0xFADE)
+        for trial in range(25):
+            n = rng.randint(1, 80)
+            cap = rng.choice([16, 64, 257])
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": range(n),
+                    "text": [
+                        " ".join("tok" for _ in range(rng.randint(0, 40)))
+                        for _ in range(n)
+                    ],
+                }
+            )
+            con = duckdb.connect()
+            con.register("documents", pdf)
+            got = (
+                con.execute(pack_sequences_sql("documents", cap))
+                .df().sort_values("doc_id").reset_index(drop=True)
+            )
+            # python reference: sort (n_tokens desc, id), running cumsum
+            ref_rows = sorted(
+                ((len(tokenize_text(t)), i) for i, t in zip(pdf["doc_id"], pdf["text"])),
+                key=lambda x: (-x[0], x[1]),
+            )
+            prev, expect = 0, {}
+            for ntok, i in ref_rows:
+                expect[i] = (ntok, prev // cap, prev % cap)
+                prev += ntok
+            for _, r in got.iterrows():
+                e = expect[int(r["doc_id"])]
+                assert (int(r["n_tokens"]), int(r["pack_id"]), int(r["pack_offset"])) == e, (
+                    trial, cap, int(r["doc_id"]))
