@@ -440,11 +440,20 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic token-budget sequence packing (training-batch
-    assembly). Oracle: pack_sequences_sql — same tokenizer rule, same
-    (n_tokens desc, id) running-sum window."""
+    """Deterministic token-budget sequence packing, PARTITIONED default
+    (md5-bucketed windows, no single-partition WindowExec). Oracle:
+    pack_sequences_sql — same tokenizer rule, same md5 bucket, same
+    (n_tokens desc, id) running-sum window per bucket."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return sampling.pack_sequences(docs, capacity=512)
+
+
+def _q_seq_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-sequence reference packing semantics (n_partitions=None —
+    ONE global window; kept as the reference form, not the scale path).
+    Oracle: the global-window pack_sequences_sql."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.pack_sequences(docs, capacity=512, n_partitions=None)
 
 
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _q_doc_split,
         "contamination": _q_contamination,
         "seq_pack": _q_seq_pack,
+        "seq_pack_global": _q_seq_pack_global,
         "vocab_bigrams": _q_vocab_bigrams,
         "quality_filter": _q_quality_filter,
         "emb_near_dup": _q_emb_near_dup,
@@ -604,6 +614,9 @@ def oracle_sql() -> dict[str, str]:
         + sampling.deterministic_split_sql("documents")
         + ")",
         "seq_pack": sampling.pack_sequences_sql("documents", capacity=512),
+        "seq_pack_global": sampling.pack_sequences_sql(
+            "documents", capacity=512, n_partitions=None
+        ),
         "vocab_bigrams": text.vocab_topk_sql("documents", k=30, ngram=2),
         "quality_filter": text.quality_filter_sql("documents"),
         "contamination": sampling.contamination_pairs_sql(

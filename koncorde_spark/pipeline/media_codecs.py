@@ -310,7 +310,15 @@ def decode_y4m(data: bytes) -> tuple[int, int, list[np.ndarray]]:
         elif t.startswith("H"):
             h = int(t[1:])
         elif t.startswith("C"):
-            colorspace = t[1:].rstrip("jpmh")  # C420jpeg/C420mpeg2/C420paldv...
+            # C420jpeg / C420mpeg2 / C420paldv are all 4:2:0 layouts with
+            # identical frame sizes — map the siting variants explicitly
+            # (a suffix rstrip can never strip 'jpeg'/'mpeg2'/'paldv', and
+            # a bare prefix match would wrongly accept C444alpha's 4-plane
+            # frames as 3-plane C444)
+            cs = t[1:]
+            if cs in ("420jpeg", "420mpeg2", "420paldv"):
+                cs = "420"
+            colorspace = cs
     if w is None or h is None:
         raise UnsupportedMediaError("Y4M header missing W/H")
     if colorspace not in _Y4M_SUBSAMPLING:

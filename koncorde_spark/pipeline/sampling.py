@@ -168,65 +168,128 @@ def contamination_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+PACK_PARTITIONS_DEFAULT = 32
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_partitions: int | None = PACK_PARTITIONS_DEFAULT,
+    seed: str = "pack",
 ) -> DataFrame:
     """Assign each document to a token-budget pack: (id, n_tokens, pack_id,
     pack_offset) — the greedy fill-in-order packing used to build fixed-
     length training batches, made deterministic and shuffle-bounded.
 
-    pack_id = floor(prev_cumsum / capacity) over the deterministic
-    (n_tokens desc, id asc) order; pack_offset is the document's token
-    offset inside its pack. Documents are never split; a pack may
-    overflow ``capacity`` by at most (its last doc's n_tokens - 1) — the
-    standard no-splitting tradeoff, and the desc ordering keeps the
-    overflow small (large docs lead, the tail packs densely).
+    DEFAULT (``n_partitions`` set): documents are bucketed by a
+    deterministic md5 of (seed, id) and packed independently per bucket —
+    the window is PARTITIONED, so the sort and running sum stay
+    partition-local and no single task ever holds the whole table (the
+    unpartitioned form makes Spark move ALL rows to one partition —
+    WindowExec "No Partition Defined"). pack_id = local_pack * n_partitions
+    + bucket stays globally unique and is still a pure function of the
+    data, so reruns and repartitions never reassign a row. Raise
+    ``n_partitions`` with corpus size (keep tokens-per-bucket in task
+    memory).
 
-    Scale: ONE global sort (a range-partitioned shuffle Spark does
-    without a driver bottleneck) + one running-sum window. At 100 TB,
-    pack per shard instead (add your shard column to the window
-    partitionBy) to keep the sort partition-local; the global form stays
-    the oracle-checkable reference semantics.
+    ``n_partitions=None``: the single-sequence reference semantics —
+    pack_id = floor(prev_cumsum / capacity) over ONE global
+    (n_tokens desc, id asc) order. Correct but serializes on one task;
+    reserved for small data and the oracle twin.
+
+    Documents are never split; a pack may overflow ``capacity`` by at most
+    (its last doc's n_tokens - 1) — the standard no-splitting tradeoff,
+    and the desc ordering keeps the overflow small per bucket (large docs
+    lead, the tail packs densely).
     """
     from .text import tokens_col
 
-    w = Window.orderBy(F.desc("n_tokens"), F.asc(id_col)).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     toks = df.select(F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens"))
+    if n_partitions is None:
+        w = Window.orderBy(F.desc("n_tokens"), F.asc(id_col)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        return toks.select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(prev / capacity).cast("long").alias("pack_id"),
+            F.pmod(prev, F.lit(capacity)).cast("long").alias("pack_offset"),
+        )
+    # same md5 bucket derivation as deterministic_split (60-bit prefix) —
+    # exactly reproducible in the DuckDB twin
+    key = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    toks = toks.withColumn("__bucket", F.pmod(h, F.lit(n_partitions)))
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc("n_tokens"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return toks.select(
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.floor(prev / capacity).cast("long").alias("pack_id"),
+        (F.floor(prev / capacity) * n_partitions + F.col("__bucket"))
+        .cast("long")
+        .alias("pack_id"),
         F.pmod(prev, F.lit(capacity)).cast("long").alias("pack_offset"),
     )
 
 
 def pack_sequences_sql(
-    table: str, capacity: int = 4096, text_col: str = "text", id_col: str = "doc_id"
+    table: str,
+    capacity: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = PACK_PARTITIONS_DEFAULT,
+    seed: str = "pack",
 ) -> str:
-    """DuckDB twin of pack_sequences (same tokenizer rule, same window)."""
+    """DuckDB twin of pack_sequences (same tokenizer rule, same md5 bucket,
+    same window — partitioned by default, global when n_partitions=None)."""
     from .text import tokens_sql
 
     t = tokens_sql(text_col)
+    if n_partitions is None:
+        return f"""
+        WITH toks AS (
+          SELECT {id_col}, len({t})::BIGINT AS n_tokens FROM {table}
+        ),
+        cum AS (
+          SELECT {id_col}, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY n_tokens DESC, {id_col} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prev
+          FROM toks
+        )
+        SELECT {id_col}, n_tokens,
+               (prev // {capacity})::BIGINT AS pack_id,
+               (prev % {capacity})::BIGINT AS pack_offset
+        FROM cum
+        """
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {n_partitions})"
+    )
     return f"""
     WITH toks AS (
-      SELECT {id_col}, len({t})::BIGINT AS n_tokens FROM {table}
+      SELECT {id_col}, len({t})::BIGINT AS n_tokens, {bucket} AS bucket
+      FROM {table}
     ),
     cum AS (
-      SELECT {id_col}, n_tokens,
+      SELECT {id_col}, n_tokens, bucket,
              coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket
                ORDER BY n_tokens DESC, {id_col} ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS prev
       FROM toks
     )
     SELECT {id_col}, n_tokens,
-           (prev // {capacity})::BIGINT AS pack_id,
+           ((prev // {capacity}) * {n_partitions} + bucket)::BIGINT AS pack_id,
            (prev % {capacity})::BIGINT AS pack_offset
     FROM cum
     """

@@ -718,3 +718,113 @@ class TestDeletions:
         got = idx2.topk("zeta", 10).toPandas()
         assert victim not in set(got["doc_id"])  # still deleted
         assert len(got) == 2  # the surviving original + the fresh append
+
+
+class TestAppendSchemaGuard:
+    def test_append_refuses_pre_avgdl_seg_postings(self, spark, tmp_path):
+        """Appending to an index whose postings lack avgdl_seg would create
+        MIXED parquet schemas; schema inference from an old fragment then
+        silently drops the column for the new segments too and block-max
+        WAND can skip true top-k docs after an avgdl-raising append
+        (ADVICE r3). append_index must refuse up front."""
+        import numpy as np
+
+        from koncorde_spark.fulltext.indexer import (
+            IndexConfig,
+            append_index,
+            build_index,
+        )
+
+        rng = np.random.default_rng(11)
+        words = np.array("aa bb cc dd".split())
+        corpus, _ = TestAppendIndex._corpus(
+            spark, TestAppendIndex._mk_docs(rng, 10, words, 6)
+        )
+        d = str(tmp_path / "idx")
+        build_index(spark, corpus, d, IndexConfig(n_shards=2), resume=False)
+        # simulate a pre-append-era index: rewrite postings without the column
+        ppath = os.path.join(d, "postings")
+        old = spark.read.parquet(ppath).drop("avgdl_seg").toPandas()
+        import shutil
+
+        shutil.rmtree(ppath)
+        spark.createDataFrame(old).write.partitionBy("shard").parquet(ppath)
+        spark.catalog.refreshByPath(ppath)
+        with pytest.raises(RuntimeError, match="avgdl_seg"):
+            append_index(spark, corpus, d)
+
+
+class TestTombstoneBudget:
+    def test_warns_past_fraction(self, spark, tmp_path, recwarn):
+        """Deleting past TOMBSTONE_WARN_FRACTION of the index must warn
+        with a rebuild hint; below it, no warning."""
+        import numpy as np
+        import warnings as _warnings
+
+        from koncorde_spark.fulltext import indexer as ix
+
+        rng = np.random.default_rng(12)
+        words = np.array("aa bb cc dd ee".split())
+        corpus, _ = TestAppendIndex._corpus(
+            spark, TestAppendIndex._mk_docs(rng, 20, words, 6)
+        )
+        d = str(tmp_path / "idx")
+        ix.build_index(spark, corpus, d, ix.IndexConfig(n_shards=2), resume=False)
+        ids = [r["doc_id"] for r in
+               spark.read.parquet(os.path.join(d, "docs")).select("doc_id").collect()]
+        # 10% deleted: silent
+        ix.delete_docs(spark, d, ids[:2])
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            ix.read_tombstones(spark, d)
+        # past 20%: warns with the compaction hint
+        ix.delete_docs(spark, d, ids[2:6])
+        with pytest.warns(RuntimeWarning, match="rebuild the index"):
+            ix.read_tombstones(spark, d)
+
+
+class TestDlpackWorkerCache:
+    def test_decode_cached_by_lineage_key(self):
+        """Same (index_dir, shard, lineage) key returns the SAME decoded
+        arrays without re-decoding; a changed lineage (append) re-decodes."""
+        import numpy as np
+        import pandas as pd
+
+        from koncorde_spark.fulltext.codecs import delta_encode, varint_encode
+        from koncorde_spark.fulltext import query as q
+
+        ids = np.array([3, 9, 20], dtype=np.uint64)
+        dls = np.array([5, 7, 11], dtype=np.uint64)
+        pack = pd.DataFrame(
+            [(0, 3, delta_encode(ids), varint_encode(dls))],
+            columns=["shard", "n", "doc_ids", "dls"],
+        )
+        q._DLPACK_CACHE.clear()
+        a1 = q._decode_dlpack(pack, ("/idx", 0, 111))
+        a2 = q._decode_dlpack(pack, ("/idx", 0, 111))
+        assert a1[0] is a2[0] and a1[1] is a2[1]  # cache hit, no re-decode
+        assert list(a1[0]) == [3, 9, 20] and list(a1[1]) == [5.0, 7.0, 11.0]
+        a3 = q._decode_dlpack(pack, ("/idx", 0, 222))  # lineage bumped
+        assert a3[0] is not a1[0]
+        assert ("/idx", 0, 222) in q._DLPACK_CACHE
+        # keyless decode (no manifests): never cached
+        q._DLPACK_CACHE.clear()
+        q._decode_dlpack(pack, None)
+        assert not q._DLPACK_CACHE
+
+    def test_cache_eviction_bounded(self):
+        import numpy as np
+        import pandas as pd
+
+        from koncorde_spark.fulltext.codecs import delta_encode, varint_encode
+        from koncorde_spark.fulltext import query as q
+
+        pack = pd.DataFrame(
+            [(0, 1, delta_encode(np.array([1], dtype=np.uint64)),
+              varint_encode(np.array([4], dtype=np.uint64)))],
+            columns=["shard", "n", "doc_ids", "dls"],
+        )
+        q._DLPACK_CACHE.clear()
+        for i in range(q._DLPACK_CACHE_MAX + 10):
+            q._decode_dlpack(pack, ("/idx", i, 0))
+        assert len(q._DLPACK_CACHE) <= q._DLPACK_CACHE_MAX

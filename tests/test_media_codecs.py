@@ -145,3 +145,35 @@ class TestContracts:
         arr = np.zeros((1, 1, 3), dtype=np.uint8)
         arr[0, 0] = [255, 0, 0]
         assert abs(mc.luma(arr)[0, 0] - 0.299 * 255) < 1e-9
+
+
+class TestY4mColorspaceVariants:
+    """C420jpeg / C420mpeg2 / C420paldv are 4:2:0 siting variants with
+    identical frame byte counts — they must decode (ADVICE r3: the old
+    suffix-rstrip never matched them); 4-plane C444alpha must stay
+    rejected (a prefix match on '444' would mis-size its frames)."""
+
+    @staticmethod
+    def _y4m_with_colorspace(cs: str, frames, chroma_ratio: float) -> bytes:
+        h, w = frames[0].shape
+        out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode()]
+        extra = int(w * h * chroma_ratio) - w * h  # chroma filler bytes
+        for fr in frames:
+            out.append(b"FRAME\n" + fr.tobytes() + b"\x80" * extra)
+        return b"".join(out)
+
+    def test_420_siting_variants_decode(self):
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 256, (8, 12), dtype=np.uint8) for _ in range(3)]
+        for cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
+            data = self._y4m_with_colorspace(cs, frames, 3 / 2)
+            w, h, got = mc.decode_y4m(data)
+            assert (w, h, len(got)) == (12, 8, 3), cs
+            assert all((a == b).all() for a, b in zip(frames, got)), cs
+
+    def test_444alpha_rejected(self):
+        rng = np.random.default_rng(8)
+        frames = [rng.integers(0, 256, (8, 12), dtype=np.uint8)]
+        data = self._y4m_with_colorspace("444alpha", frames, 4.0)
+        with pytest.raises(mc.UnsupportedMediaError):
+            mc.decode_y4m(data)

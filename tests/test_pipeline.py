@@ -695,7 +695,7 @@ class TestSequencePackingFuzz:
             con = duckdb.connect()
             con.register("documents", pdf)
             got = (
-                con.execute(pack_sequences_sql("documents", cap))
+                con.execute(pack_sequences_sql("documents", cap, n_partitions=None))
                 .df().sort_values("doc_id").reset_index(drop=True)
             )
             # python reference: sort (n_tokens desc, id), running cumsum
@@ -711,3 +711,62 @@ class TestSequencePackingFuzz:
                 e = expect[int(r["doc_id"])]
                 assert (int(r["n_tokens"]), int(r["pack_id"]), int(r["pack_offset"])) == e, (
                     trial, cap, int(r["doc_id"]))
+
+    def test_duckdb_twin_partitioned_matches_python_reference(self):
+        """Same property fuzz for the PARTITIONED default: the SQL twin
+        equals a python re-implementation that buckets by the md5(seed:id)
+        prefix and packs each bucket independently with globally-unique
+        pack ids (local_pack * n + bucket)."""
+        import hashlib
+        import random
+
+        import duckdb
+
+        from koncorde_spark.fulltext.tokenizer import tokenize_text
+        from koncorde_spark.pipeline.sampling import pack_sequences_sql
+
+        rng = random.Random(0xBEEF)
+        for trial in range(15):
+            n = rng.randint(1, 80)
+            cap = rng.choice([16, 64, 257])
+            nparts = rng.choice([1, 3, 8])
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": range(n),
+                    "text": [
+                        " ".join("tok" for _ in range(rng.randint(0, 40)))
+                        for _ in range(n)
+                    ],
+                }
+            )
+            con = duckdb.connect()
+            con.register("documents", pdf)
+            got = (
+                con.execute(
+                    pack_sequences_sql("documents", cap, n_partitions=nparts)
+                )
+                .df().sort_values("doc_id").reset_index(drop=True)
+            )
+
+            def bucket_of(i: int) -> int:
+                h = hashlib.md5(f"pack:{i}".encode()).hexdigest()[:15]
+                return int(h, 16) % nparts
+
+            expect = {}
+            for b in range(nparts):
+                rows = sorted(
+                    (
+                        (len(tokenize_text(t)), i)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                        if bucket_of(i) == b
+                    ),
+                    key=lambda x: (-x[0], x[1]),
+                )
+                prev = 0
+                for ntok, i in rows:
+                    expect[i] = (ntok, (prev // cap) * nparts + b, prev % cap)
+                    prev += ntok
+            for _, r in got.iterrows():
+                e = expect[int(r["doc_id"])]
+                assert (int(r["n_tokens"]), int(r["pack_id"]), int(r["pack_offset"])) == e, (
+                    trial, cap, nparts, int(r["doc_id"]))
