@@ -154,6 +154,25 @@ def main():
     assert meta_after["appends"][-1]["n_new"] == 2000, meta_after.get("appends")
     extra["append_files_per_sec"] = round(2000 / queries["bm25_append_2k"], 1)
 
+    # append-cost-independence evidence (VERDICT r3 #3): the same 2k-doc
+    # append into a SMALL (2k-doc) base must cost about the same as into
+    # the big base above — no O(index) stage remains in append_index.
+    # Ratio ≈ 1 proves it; the old terms-rescan made it grow with base size.
+    small_dir = "/tmp/koncorde_bench_idx_small"
+    shutil.rmtree(small_dir, ignore_errors=True)
+    small_base = synthetic_corpus_df(spark, n_rows=2000, seed=42, partitions=cpus).cache()
+    small_base.count()
+    build_index(spark, small_base, small_dir, IndexConfig(n_shards=cpus), resume=False)
+    small_plus = synthetic_corpus_df(spark, n_rows=4000, seed=42, partitions=cpus).cache()
+    small_plus.count()
+    meta_small = timed(
+        "bm25_append_2k_smallbase", lambda: append_index(spark, small_plus, small_dir)
+    )
+    assert meta_small["appends"][-1]["n_new"] == 2000, meta_small.get("appends")
+    extra["append_bigbase_over_smallbase"] = round(
+        queries["bm25_append_2k"] / max(queries["bm25_append_2k_smallbase"], 1e-9), 2
+    )
+
     # --- reference-shaped microbench: 10k equals filters ------------------
     # mirrors /root/reference/benchmark.js (10,000 random-string equals
     # filters; README.md:98-99 reports 0.255s indexation, 10.3M single-doc

@@ -33,6 +33,13 @@ CASES = [
     ({"not": {"equals": {"a": "foo"}}}, {}, True),
     ({"not": {"equals": {"a": "foo"}}}, {"a": "foo"}, False),
     ({"not": {"equals": {"a": 1}}}, {"a": "1"}, True),  # strict: '1' !== 1
+    # notequals:null — DOCUMENTED DIVERGENCE (SURVEY §8, compiled.py:531):
+    # the reference's `doc[key] !== null` lets a MISSING field match
+    # (undefined !== null); here missing ≡ null, so it does NOT match —
+    # consistent with the SQL twin on both engines. Pinned deliberately.
+    ({"not": {"equals": {"a": None}}}, {}, False),
+    ({"not": {"equals": {"a": None}}}, {"a": None}, False),
+    ({"not": {"equals": {"a": None}}}, {"a": 1}, True),
     # exists
     ({"exists": "a"}, {"a": 1}, True),
     ({"exists": "a"}, {"a": None}, False),  # null collapses to missing (documented)
