@@ -544,6 +544,8 @@ def build_index(
         # parallelism (32 python workers + shuffle sort in one task) and
         # measurably inverts scaling; two clean stages scale linearly
         partials.count()
+        metrics["partials_sec"] = time.time() - t0
+        t_merge = time.time()
         n_merge_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         merged = partials.repartition(n_merge_parts, "term", "salt").mapInPandas(
             _merge_partition_fn(
@@ -583,6 +585,8 @@ def build_index(
             # it silently changes the semantics of their own writes
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         partials.unpersist()
+        metrics["merge_write_sec"] = time.time() - t_merge
+        t_manifest = time.time()
         postings = spark.read.parquet(postings_path).persist()
         pl = (
             postings.groupBy("shard")
@@ -604,6 +608,7 @@ def build_index(
             if sh not in present
         ]
         _write_manifests(out_dir, "postings", man, fp)
+        metrics["manifest_sec"] = time.time() - t_manifest
     metrics["postings_sec"] = time.time() - t0
 
     # -- stage 3: term stats + meta ---------------------------------------

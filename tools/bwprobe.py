@@ -111,6 +111,36 @@ def probe(
     }
 
 
+def read_cpu_stat() -> dict:
+    """Aggregate /proc/stat cpu counters (jiffies) — steal included.
+
+    Steal is the definitive box-health signal on a shared-tenancy VM: it
+    counts time the hypervisor ran OTHER tenants while this guest had
+    runnable work. Sampling it around each scaling run separates 'the job
+    anti-scales' from 'the box was taken away mid-run' (round-4 found the
+    32-way legs BIMODAL — 27 s or 68-96 s for identical work — with no
+    job-side difference)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq",
+             "steal", "guest", "guest_nice"]
+    return dict(zip(names, (int(x) for x in parts[1 : len(names) + 1])))
+
+
+def cpu_window(before: dict, after: dict) -> dict:
+    """Steal/busy fractions for the window between two read_cpu_stat()s."""
+    d = {k: after.get(k, 0) - before.get(k, 0) for k in before}
+    total = sum(d.get(k, 0) for k in
+                ("user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"))
+    if total <= 0:
+        return {"steal_frac": None, "busy_frac": None}
+    busy = d["user"] + d["nice"] + d["system"] + d["irq"] + d["softirq"]
+    return {
+        "steal_frac": round(d["steal"] / total, 4),
+        "busy_frac": round(busy / total, 4),
+    }
+
+
 if __name__ == "__main__":
     procs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     docs = int(sys.argv[2]) if len(sys.argv) > 2 else 600

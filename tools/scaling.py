@@ -70,18 +70,26 @@ def run_single(cpus: int, n_rows: int) -> dict:
 
 
 def run_subprocess(cpus: int, n_rows: int, pinned: bool) -> dict:
+    from bwprobe import cpu_window, read_cpu_stat
+
     cmd = []
     if pinned:
         cmd += ["taskset", "-c", f"0-{cpus - 1}"]
     cmd += [sys.executable, os.path.abspath(__file__), "--single", str(cpus), str(n_rows)]
+    stat0 = read_cpu_stat()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    window = cpu_window(stat0, read_cpu_stat())
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not lines:
         raise RuntimeError(
             f"child run (cpus={cpus}) failed rc={proc.returncode}:\n"
             + proc.stderr[-4000:]
         )
-    return json.loads(lines[-1])
+    out = json.loads(lines[-1])
+    # hypervisor steal fraction observed across this exact run window —
+    # a high value explains a slow run as box theft, not a plan defect
+    out["cpu_window"] = window
+    return out
 
 
 def run_protocol(
@@ -120,6 +128,7 @@ def run_protocol(
         }
     order = (base_n, mid_n, hi_n) * repeats  # interleaved best-of-k
     results: dict[int, dict] = {}
+    all_runs: list[dict] = []
     for cpus in order:
         time.sleep(10)
         r = run_subprocess(cpus, n_rows, pinned)
@@ -127,8 +136,16 @@ def run_protocol(
             # box-health snapshot in the SAME window as this run, at this
             # run's concurrency — the normalization source below
             r["probe"] = probe(cpus, reps=15, baseline=baseline)
+        all_runs.append(
+            {"cpus": cpus, "sec": r["sec"], "cpu_window": r.get("cpu_window"),
+             "stages": r.get("stages")}
+        )
         if cpus not in results or r["sec"] < results[cpus]["sec"]:
             results[cpus] = r
+    # every repeat, in execution order, with its steal window — the 32-way
+    # legs are BIMODAL on this VM (identical work: ~27 s or 68-96 s);
+    # best-of-k picks the machine-limited number, this list shows why
+    out["all_runs"] = all_runs
     if with_probe:
         out["bandwidth_probe_after"] = {
             f"p{n}": probe(n, baseline=baseline) for n in (base_n, hi_n)
