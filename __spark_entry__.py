@@ -432,6 +432,23 @@ def _q_vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_topk(docs, k=30, ngram=2)
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line / top-bigram /
+    dup-trigram fractions) — one fused Arrow pass, zero shuffle.
+    Oracle: repetition_stats_sql (same tokenizer, same line rule, exact
+    int/int double divisions)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repetition_stats(docs)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped span redaction (emails / IPv4 / phone runs), pure
+    Catalyst regexp_count + regexp_replace — Java/RE2-safe shared
+    patterns. Oracle: pii_scrub_sql."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.pii_scrub(docs)
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style composite corpus cleaning with auditable per-rule
     reasons. Oracle: quality_filter_sql, same metric SQL + rule order."""
@@ -537,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_global": _q_seq_pack_global,
         "vocab_bigrams": _q_vocab_bigrams,
         "quality_filter": _q_quality_filter,
+        "repetition": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
         "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
@@ -619,6 +638,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_bigrams": text.vocab_topk_sql("documents", k=30, ngram=2),
         "quality_filter": text.quality_filter_sql("documents"),
+        "repetition": text.repetition_stats_sql("documents"),
+        "pii_scrub": text.pii_scrub_sql("documents"),
         "contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
         ),

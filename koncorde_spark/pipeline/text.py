@@ -532,3 +532,230 @@ def quality_filter_sql(
            END AS kept
     FROM ({qs})
     """
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style repetition signals)
+# ---------------------------------------------------------------------------
+
+
+def _repetition_batch(texts, id_vals):
+    """Per-doc repetition signals from ONE Arrow tokenize of the batch.
+
+    Gopher-style corpus-cleaning statistics (Rae et al. 2021 §A1.1):
+    documents dominated by repeated lines or n-grams are boilerplate /
+    spam. Everything is vectorized: bigram ids are composed from the
+    dictionary codes of ADJACENT flat positions (the flat token stream is
+    row-major and order-preserving), trigram ids from factorized bigram
+    ids — no per-row python loops, no per-token objects.
+
+    All ratios are exact int/int double divisions — bit-identical in the
+    DuckDB twin with no rounding step (same contract as
+    contamination_pairs)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..fulltext.tokenizer import tokenize_arrow
+
+    n = len(texts)
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+
+    # line stats: split on \n only (both engines agree; '' has ONE line)
+    lines = pc.split_pattern(arr, "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_lines = pc.dictionary_encode(pc.list_flatten(lines))
+    line_codes = np.asarray(flat_lines.indices, dtype=np.int64)
+    line_rows = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    # distinct lines per row: unique (row, line_code) pairs
+    n_line_vocab = max(len(flat_lines.dictionary), 1)
+    uniq_rl = np.unique(line_rows * n_line_vocab + line_codes)
+    n_distinct_lines = np.bincount(uniq_rl // n_line_vocab, minlength=n).astype(np.int64)
+
+    codes, rows, vocab, dls = tokenize_arrow(texts)
+    V = max(len(vocab), 1)
+
+    def gram_stats(gram_ids, gram_rows):
+        """(n_grams, n_distinct_grams, top_gram_count) per row."""
+        n_grams = np.bincount(gram_rows, minlength=n).astype(np.int64)
+        if len(gram_ids) == 0:
+            z = np.zeros(n, dtype=np.int64)
+            return n_grams, z, z
+        bcodes, _ = pd.factorize(gram_ids)
+        # count per distinct (row, gram); rows ride inside gram_ids already
+        cnt = np.bincount(bcodes)
+        first_row = np.full(len(cnt), -1, dtype=np.int64)
+        first_row[bcodes] = gram_rows  # any occurrence's row (all equal)
+        n_distinct = np.bincount(first_row, minlength=n).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, first_row, cnt)
+        return n_grams, n_distinct, top
+
+    # bigrams: adjacent flat positions within the same row
+    if len(codes) >= 2:
+        adj = rows[:-1] == rows[1:]
+        bi_ids = (rows[:-1] * V + codes[:-1])[adj] * V + codes[1:][adj]
+        bi_rows = rows[:-1][adj]
+    else:
+        bi_ids = np.empty(0, dtype=np.int64)
+        bi_rows = np.empty(0, dtype=np.int64)
+    n_bi, _, top_bi = gram_stats(bi_ids, bi_rows)
+
+    # trigrams: factorized bigram id (row-scoped) + following token code
+    if len(bi_ids) >= 1 and len(codes) >= 3:
+        bi_codes, _ = pd.factorize(bi_ids)
+        # position in the original stream of each bigram's FIRST token
+        bi_pos = np.nonzero(adj)[0]
+        has_next = bi_pos + 2 < len(codes)
+        same_row = np.zeros(len(bi_pos), dtype=bool)
+        same_row[has_next] = rows[bi_pos[has_next] + 2] == bi_rows[has_next]
+        tri_ids = bi_codes[same_row].astype(np.int64) * V + codes[bi_pos[same_row] + 2]
+        tri_rows = bi_rows[same_row]
+    else:
+        tri_ids = np.empty(0, dtype=np.int64)
+        tri_rows = np.empty(0, dtype=np.int64)
+    n_tri, d_tri, _ = gram_stats(tri_ids, tri_rows)
+
+    def frac(num, den):
+        return np.where(den > 0, num / np.maximum(den, 1), 0.0)
+
+    return pd.DataFrame(
+        {
+            "__id": id_vals,
+            "n_lines": n_lines,
+            "n_tokens": dls,
+            "dup_line_frac": frac(n_lines - n_distinct_lines, n_lines),
+            "top_bigram_frac": frac(top_bi, n_bi),
+            "dup_trigram_frac": frac(n_tri - d_tri, n_tri),
+        }
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: (id, n_lines,
+    n_tokens, dup_line_frac, top_bigram_frac, dup_trigram_frac).
+
+    - dup_line_frac: fraction of lines that repeat another line
+    - top_bigram_frac: occurrences of the most frequent token bigram over
+      all bigram occurrences
+    - dup_trigram_frac: fraction of trigram occurrences that repeat
+
+    Scale shape: narrow ``mapInPandas`` (one Arrow tokenize per batch,
+    zero shuffle, no per-doc python loops) — identical posture to
+    ``text_features``. Null text ≡ ''."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, n_lines long, n_tokens long, "
+        "dup_line_frac double, top_bigram_frac double, dup_trigram_frac double"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            out = _repetition_batch(pdf[text_col], pdf[id_col].to_numpy())
+            yield out.rename(columns={"__id": id_col})
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def repetition_stats_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of repetition_stats (same tokenizer, same '\\n' line
+    rule, exact int/int divisions — list-local O(n_distinct · n) per doc,
+    fine at oracle scale)."""
+    x = f"coalesce({text_col}, '')"
+    t = tokens_sql(x)
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             string_split({x}, chr(10)) AS lines,
+             {t} AS toks
+      FROM {table}
+    ),
+    grams AS (
+      SELECT {id_col}, lines, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i ->
+                 toks[i] || chr(1) || toks[i+1])
+             ELSE [] END AS bigrams,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1), i ->
+                 toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])
+             ELSE [] END AS trigrams
+      FROM base
+    )
+    SELECT {id_col},
+           len(lines)::BIGINT AS n_lines,
+           len(toks)::BIGINT AS n_tokens,
+           (len(lines) - len(list_distinct(lines))) / len(lines)
+             AS dup_line_frac,
+           CASE WHEN len(bigrams) > 0 THEN
+             list_max(list_transform(list_distinct(bigrams),
+               g -> len(list_filter(bigrams, y -> y = g)))) / len(bigrams)
+           ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN len(trigrams) > 0 THEN
+             (len(trigrams) - len(list_distinct(trigrams))) / len(trigrams)
+           ELSE 0.0 END AS dup_trigram_frac
+    FROM grams
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pure Catalyst, shared Java/RE2-safe patterns)
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to constructs with IDENTICAL semantics
+# in java.util.regex (Spark) and RE2 (DuckDB): explicit character classes
+# only — no \\s (Java includes \\x0B, RE2 does not), no alternation under
+# repeats, no backreferences/lookarounds. Match order is fixed:
+# emails → ipv4 → phone-like digit runs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII-shaped spans: (id, n_emails, n_ipv4, n_phones, scrubbed).
+
+    Counts are over the ORIGINAL text per category (independent, so both
+    engines agree regardless of replacement interactions); the scrubbed
+    text applies the replacements in fixed order (emails → IPv4 → phone
+    runs) with <EMAIL> / <IP> / <PHONE> markers. Pure Catalyst
+    (regexp_count + regexp_replace inside whole-stage codegen): no UDF,
+    no shuffle — the 100-TB shape is scan → project → write."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def pii_scrub_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of pii_scrub (same patterns, same replacement order)."""
+    x = f"coalesce({text_col}, '')"
+    return f"""
+    SELECT {id_col},
+           len(regexp_extract_all({x}, '{PII_EMAIL}'))::BIGINT AS n_emails,
+           len(regexp_extract_all({x}, '{PII_IPV4}'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all({x}, '{PII_PHONE}'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace({x},
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM {table}
+    """

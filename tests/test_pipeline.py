@@ -770,3 +770,124 @@ class TestSequencePackingFuzz:
                 e = expect[int(r["doc_id"])]
                 assert (int(r["n_tokens"]), int(r["pack_id"]), int(r["pack_offset"])) == e, (
                     trial, cap, nparts, int(r["doc_id"]))
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b\na b\nc",          # 3 lines, 2 dup -> 1/3; tokens a b a b c
+                    "x y z",                # no repetition
+                    "",                     # empty: 1 line, 0 tokens
+                    "p q p q p q",          # heavy bigram repetition
+                ],
+            }
+        )
+        out = (
+            text.repetition_stats(spark.createDataFrame(pdf))
+            .toPandas().set_index("doc_id")
+        )
+        # doc 1: lines ['a b','a b','c'] -> 3 lines, distinct 2 -> dup 1/3
+        assert out.loc[1, "n_lines"] == 3
+        assert abs(out.loc[1, "dup_line_frac"] - 1 / 3) < 1e-12
+        # doc 1 bigrams: ab ba ab bc -> top 'a b' x2 of 4 -> 0.5
+        assert abs(out.loc[1, "top_bigram_frac"] - 0.5) < 1e-12
+        # doc 1 trigrams: aba bab abc -> all distinct -> 0
+        assert out.loc[1, "dup_trigram_frac"] == 0.0
+        # doc 2: no repetition anywhere
+        assert out.loc[2, "dup_line_frac"] == 0.0
+        assert out.loc[2, "top_bigram_frac"] == 0.5  # xy yz -> top 1 of 2
+        # doc 3: empty -> 1 line, 0 tokens, all fracs 0
+        assert out.loc[3, "n_lines"] == 1 and out.loc[3, "n_tokens"] == 0
+        assert out.loc[3, "top_bigram_frac"] == 0.0
+        # doc 4: bigrams pq qp pq qp pq -> top 3/5; trigrams pqp qpq pqp qpq
+        # -> 4 occurrences, 2 distinct -> dup 0.5
+        assert abs(out.loc[4, "top_bigram_frac"] - 3 / 5) < 1e-12
+        assert abs(out.loc[4, "dup_trigram_frac"] - 0.5) < 1e-12
+
+    def test_duckdb_parity_crafted(self, spark):
+        import duckdb
+
+        rng = np.random.default_rng(23)
+        words = np.array("aa bb cc dd".split())
+        texts = [
+            " ".join(rng.choice(words, size=int(rng.integers(0, 30))))
+            + ("\n" + " ".join(rng.choice(words, size=3))) * int(rng.integers(0, 4))
+            for _ in range(50)
+        ] + [None, "", "\n\n", "x\nx\nx"]
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            text.repetition_stats(spark.createDataFrame(pdf))
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = (
+            con.execute(text.repetition_stats_sql("documents"))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        for c in ["n_lines", "n_tokens"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        for c in ["dup_line_frac", "top_bigram_frac", "dup_trigram_frac"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+class TestPiiScrub:
+    def test_crafted_and_parity(self, spark):
+        import duckdb
+
+        texts = [
+            "contact me at jane.doe+x@example.com or bob@corp.co.uk today",
+            "server 192.168.1.200 and 10.0.0.1 rebooted",
+            "call +1 (555) 123-4567 now",
+            "no pii here at all",
+            "mixed: a@b.io 8.8.8.8 and 0123456789",
+            None,
+            "",
+        ]
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            text.pii_scrub(spark.createDataFrame(pdf))
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert int(got.loc[0, "n_emails"]) == 2
+        assert "<EMAIL>" in got.loc[0, "scrubbed"] and "@" not in got.loc[0, "scrubbed"]
+        assert int(got.loc[1, "n_ipv4"]) == 2
+        assert got.loc[1, "scrubbed"] == "server <IP> and <IP> rebooted"
+        assert int(got.loc[2, "n_phones"]) == 1
+        assert got.loc[2, "scrubbed"] == "call <PHONE> now"
+        assert got.loc[3, "scrubbed"] == "no pii here at all"
+        assert got.loc[6, "scrubbed"] == ""
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = (
+            con.execute(text.pii_scrub_sql("documents"))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        for c in ["n_emails", "n_ipv4", "n_phones"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        assert (got["scrubbed"].to_numpy() == want["scrubbed"].to_numpy()).all()
+
+    def test_parity_on_code_text(self, spark):
+        """Parity over code-shaped text (the documents table domain) —
+        catches any Java-vs-RE2 divergence on real-ish content."""
+        import duckdb
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = (
+            text.pii_scrub(docs).toPandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = (
+            con.execute(text.pii_scrub_sql("documents"))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        for c in ["n_emails", "n_ipv4", "n_phones", "scrubbed"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
