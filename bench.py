@@ -238,6 +238,30 @@ def main():
         .collect(),
     )
     extra["simhash_docs_per_sec"] = round(n_corpus / queries["simhash"], 1)
+    timed(
+        "repetition_stats",
+        lambda: text.repetition_stats(corpus, "content", "path")
+        .agg(
+            F.sum("n_lines"),
+            F.sum("n_tokens"),
+            F.sum("dup_line_frac"),
+            F.sum("top_bigram_frac"),
+            F.sum("dup_trigram_frac"),
+        )
+        .collect(),
+    )
+    timed(
+        "pii_scrub",
+        lambda: text.pii_scrub(corpus, "content", "path")
+        .agg(
+            F.sum("n_emails"),
+            F.sum("n_ipv4"),
+            F.sum("n_phones"),
+            F.sum(F.length("scrubbed")),
+        )
+        .collect(),
+    )
+    extra["pii_scrub_docs_per_sec"] = round(n_corpus / queries["pii_scrub"], 1)
 
     # full near-dup pipeline: LSH candidates → pruned Jaccard verify →
     # connected components (the end-to-end dedup path a crawl corpus runs)

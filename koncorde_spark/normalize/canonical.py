@@ -9,11 +9,15 @@ condition lists (cartesian product over embedded or-groups), impossible
 AND-clauses are pruned, and each clause is keyword-sorted.
 
 Minimization: the reference uses the Espresso heuristic minimizer (a C
-addon). We implement Quine-McCluskey prime implicants + essential/greedy
-cover — an equivalent two-level minimizer producing a logically identical
-(if not always cube-identical) DNF. Filter IDs therefore match the
-reference exactly for single-condition and simple filters and remain
-*stable and deterministic* for all filters under our own hashing.
+addon). We implement the published Espresso-II pipeline itself
+(normalize/espresso.py: EXPAND → IRREDUNDANT → ESSENTIALS → REDUCE loop
+→ LAST_GASP over the same fully-specified minterm input) so the cube
+SET matches espresso's by construction — including its documented
+heuristic picks for cyclic covers, where round-3's QM branch-and-bound
+only coincided by accident. The one residual divergence is OR-clause
+ORDER (espresso emits its internal order, we sort cube strings); filter
+IDs match the reference exactly for single-condition/single-cube filters
+and remain stable and deterministic for all filters under our hashing.
 """
 
 from __future__ import annotations
@@ -85,7 +89,7 @@ def _eval_filter(filters: dict, bits: list[int], pos: list[int]) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Quine-McCluskey two-level minimization
+# Two-level minimization (Espresso-II pipeline, normalize/espresso.py)
 # ---------------------------------------------------------------------------
 
 
@@ -93,86 +97,18 @@ def _qm_minimize(minterms: set[int], n: int) -> list[str]:
     """Minimize an ON-set of ``n``-variable minterms to a cube cover.
 
     Returns cube strings over {'0','1','-'} where position i is condition i.
-    Deterministic: primes and cover choices are ordered.
+    Delegates to the Espresso-II pipeline (normalize/espresso.py) so the
+    cube SET matches the reference's espresso output by construction —
+    unique irredundant prime covers are provably identical, and cyclic
+    covers follow espresso's documented EXPAND/IRREDUNDANT heuristics
+    (pinned in tests/test_dnf_minimization_parity.py). Deterministic: every
+    ordering espresso leaves to qsort is pinned to truth-table order.
+    (Name kept from the round-1 Quine-McCluskey implementation so external
+    callers/tests are unaffected.)
     """
-    if not minterms:
-        return []
-    if len(minterms) == (1 << n):
-        return ["-" * n]
+    from .espresso import espresso_minimize
 
-    # Implicant = (value, mask): mask bits are don't-cares.
-    current: set[tuple[int, int]] = {(m, 0) for m in minterms}
-    primes: set[tuple[int, int]] = set()
-    while current:
-        nxt: set[tuple[int, int]] = set()
-        combined: set[tuple[int, int]] = set()
-        by_mask: dict[int, list[tuple[int, int]]] = {}
-        for imp in current:
-            by_mask.setdefault(imp[1], []).append(imp)
-        for mask, group in by_mask.items():
-            group_set = {v for v, _ in group}
-            for v in group_set:
-                for bit_i in range(n):
-                    bit = 1 << bit_i
-                    if mask & bit:
-                        continue
-                    partner = v ^ bit
-                    if partner in group_set and (v & bit) == 0:
-                        nxt.add((v, mask | bit))
-                        combined.add((v, mask))
-                        combined.add((partner, mask))
-        primes |= current - combined
-        current = nxt
-
-    # Cover selection: essential primes, then an EXACT minimum cover of the
-    # residual (branch-and-bound) when the residual is small, else greedy.
-    # Espresso (the reference's minimizer) emits an irredundant prime cover;
-    # whenever the essential primes alone cover the ON-set that cover is the
-    # UNIQUE irredundant prime cover, so our cube set provably equals
-    # espresso's (tests/test_dnf_minimization_parity.py pins this).
-    def covers(imp: tuple[int, int], m: int) -> bool:
-        v, mask = imp
-        return (m & ~mask) == (v & ~mask)
-
-    ordered_primes = sorted(primes, key=lambda im: (-bin(im[1]).count("1"), im[0], im[1]))
-
-    cover_map: dict[int, list[tuple[int, int]]] = {
-        m: [p for p in ordered_primes if covers(p, m)] for m in minterms
-    }
-    chosen: list[tuple[int, int]] = []
-    for m, ps in sorted(cover_map.items()):
-        if len(ps) == 1 and ps[0] not in chosen:
-            chosen.append(ps[0])
-    uncovered = set(minterms)
-    for p in chosen:
-        uncovered -= {m for m in uncovered if covers(p, m)}
-
-    residual_primes = [
-        p
-        for p in ordered_primes
-        if p not in chosen and any(covers(p, m) for m in uncovered)
-    ]
-    if uncovered:
-        exact = _exact_cover(sorted(uncovered), residual_primes, covers)
-        if exact is not None:
-            chosen.extend(exact)
-        else:  # residual too large for exact search: greedy
-            while uncovered:
-                best = max(
-                    residual_primes,
-                    key=lambda p: (sum(1 for m in uncovered if covers(p, m)), -p[0]),
-                )
-                chosen.append(best)
-                uncovered -= {m for m in uncovered if covers(best, m)}
-
-    cubes = []
-    for v, mask in chosen:
-        cube = []
-        for i in range(n):
-            bit = 1 << i
-            cube.append("-" if mask & bit else ("1" if v & bit else "0"))
-        cubes.append("".join(cube))
-    return sorted(set(cubes))
+    return espresso_minimize(minterms, n)
 
 
 _EXACT_COVER_MAX_PRIMES = 26
