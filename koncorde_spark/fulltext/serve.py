@@ -23,19 +23,15 @@ import pyarrow.dataset as ds
 from .codecs import delta_decode, varint_decode
 from .indexer import read_meta
 from .tokenizer import tokenize_text
-
-import numpy as _np
-import pyarrow.dataset as _ds
-import os as _os
-
-
-def _local_tombstones(index_dir: str) -> "_np.ndarray":
-    path = _os.path.join(index_dir, "tombstones")
-    if not _os.path.exists(path):
-        return _np.empty(0, dtype=_np.int64)
-    tbl = _ds.dataset(path, format="parquet").to_table()
-    return _np.unique(_np.asarray(tbl["doc_id"].to_pylist(), dtype=_np.int64))
 from .wand import TermPostings, bm25_idf, topk_block_max_wand
+
+
+def _local_tombstones(index_dir: str) -> "np.ndarray":
+    path = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    tbl = ds.dataset(path, format="parquet").to_table()
+    return np.unique(np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64))
 
 
 class LocalSearcher:

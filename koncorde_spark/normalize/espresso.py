@@ -65,6 +65,8 @@ from __future__ import annotations
 
 Cube = tuple[int, int]  # (value, mask); mask bit i set = variable i free
 
+_FORCE_GENERIC_EXPAND = False  # test-only: disable the minterm fast path
+
 
 def _cube_minterms(cube: Cube) -> list[int]:
     v, mask = cube
@@ -151,6 +153,54 @@ def _expand(cover: list[Cube], onset: frozenset[int], n: int) -> list[Cube]:
     order = sorted(range(len(cover)), key=lambda j: (weight(cover[j]), j))
     active = [True] * len(cover)
     result: list[Cube] = []
+
+    # Fast path for the first EXPAND (every cube a minterm): gain for a
+    # candidate raise = active minterms in the FLIPPED half (counting
+    # active minterms already inside the current half shifts every
+    # candidate's gain by the same constant, so argmax and ties are
+    # unchanged), and feasibility is checked in the same enumeration.
+    # _FORCE_GENERIC_EXPAND lets the equivalence fuzz test pin that both
+    # paths emit identical covers.
+    is_minterm_pass = not _FORCE_GENERIC_EXPAND and all(
+        mask == 0 for _, mask in cover
+    )
+    if is_minterm_pass:
+        idx_of = {v: k for k, (v, _) in enumerate(cover)}
+        active_set = {v for v, _ in cover}
+
+        for j in order:
+            if not active[j]:
+                continue
+            cur = cover[j]
+            while True:
+                v, mask = cur
+                best_var = -1
+                best_gain = -1
+                for i in range(n):
+                    bit = 1 << i
+                    if mask & bit:
+                        continue
+                    gain = 0
+                    feasible = True
+                    for m in _cube_minterms((v ^ bit, mask)):
+                        if m not in onset:
+                            feasible = False
+                            break
+                        if m in active_set:
+                            gain += 1
+                    if feasible and gain > best_gain:
+                        best_gain = gain
+                        best_var = i
+                if best_var < 0:
+                    break
+                bit = 1 << best_var
+                cur = (v & ~bit, mask | bit)
+            for m in _cube_minterms(cur):
+                if m in active_set:
+                    active_set.discard(m)
+                    active[idx_of[m]] = False
+            result.append(cur)
+        return result
 
     for j in order:
         if not active[j]:

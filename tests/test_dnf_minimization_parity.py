@@ -537,6 +537,81 @@ class TestNearMinimality:
         assert exact / checked > 0.95, f"only {exact}/{checked} exactly minimal"
 
 
+class TestExpandFastPathEquivalence:
+    """The minterm-pass EXPAND fast path (set-based gain over the flipped
+    half) must emit covers IDENTICAL to the generic cube-scan path — the
+    flipped-half gain differs from the generic gain by a per-candidate
+    constant, so argmax and ties are unchanged (proof in espresso.py)."""
+
+    def test_paths_identical_under_fuzz(self):
+        import random
+
+        import koncorde_spark.normalize.espresso as esp
+
+        rng = random.Random(12345)
+        checked = 0
+        try:
+            for _ in range(500):
+                n = rng.randint(2, 6)
+                onset = {
+                    m
+                    for m in range(1 << n)
+                    if rng.random() < rng.choice([0.2, 0.45, 0.7, 0.9])
+                }
+                if not onset or len(onset) == (1 << n):
+                    continue
+                checked += 1
+                esp._FORCE_GENERIC_EXPAND = False
+                fast = esp.espresso_minimize(set(onset), n)
+                esp._FORCE_GENERIC_EXPAND = True
+                slow = esp.espresso_minimize(set(onset), n)
+                assert fast == slow, (n, sorted(onset), fast, slow)
+        finally:
+            esp._FORCE_GENERIC_EXPAND = False
+        assert checked >= 300
+
+    def test_dense_large_n_completes(self):
+        """Scale envelope: a 16-variable nearly-full ON-set (65535 minterm
+        cubes — the regime that killed Quine-McCluskey prime enumeration)
+        must minimize in seconds via the fast path."""
+        import time
+
+        from koncorde_spark.normalize.espresso import espresso_minimize
+
+        onset = set(range(1 << 16)) - {12345}
+        t0 = time.time()
+        cubes = espresso_minimize(onset, 16)
+        assert time.time() - t0 < 30  # ~1.6 s on a calm box
+        assert len(cubes) == 16  # complement of one minterm = n cubes
+        covered = set()
+        for c in cubes:
+            covered |= cube_minterms(c)
+        assert covered == onset
+
+    def test_invariants_at_n7_n8(self):
+        """Invariant fuzz above the brute-prime-enumeration cap: cover
+        equivalence + irredundancy at n=7..8 (primality is implied by the
+        EXPAND loop running until no raise is feasible)."""
+        import random
+
+        rng = random.Random(0xF00D)
+        for _ in range(40):
+            n = rng.choice([7, 8])
+            onset = {m for m in range(1 << n) if rng.random() < 0.4}
+            if not onset or len(onset) == (1 << n):
+                continue
+            cubes = _qm_minimize(set(onset), n)
+            covered = set().union(*(cube_minterms(c) for c in cubes))
+            assert covered == onset
+            for c in cubes:
+                rest = (
+                    set().union(*(cube_minterms(x) for x in cubes if x != c))
+                    if len(cubes) > 1
+                    else set()
+                )
+                assert rest != onset, f"redundant cube {c}"
+
+
 class TestRandomFilterTrees:
     """Property fuzz over random and/or/not trees: the minimizer invariants
     that prove espresso set-parity must hold for EVERY filter, not just the
