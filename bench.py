@@ -7,7 +7,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_CORPUS_ROWS (default 20000) synthetic corpus size for the
      index-build / dedup measurements,
      BENCH_SCALING=0 to skip the embedded scaling protocol,
-     BENCH_SCALING_ROWS (default 96000) / BENCH_SCALING_REPEATS (default 2).
+     BENCH_SCALING_ROWS (default 96000) / BENCH_SCALING_REPEATS (default 2),
+     BENCH_SCALING_PINNED=0 to drop the taskset pinning (default pinned:
+     "local[N]" then means N physical cores, not N threads spread over 32
+     cores' worth of memory bandwidth — see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -334,7 +337,10 @@ def main():
 
             scaling_rows = int(os.environ.get("BENCH_SCALING_ROWS", "96000"))
             repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
-            sc = S.run_protocol(scaling_rows, base_n=8, repeats=repeats, with_probe=True)
+            pinned = os.environ.get("BENCH_SCALING_PINNED", "1") != "0"
+            sc = S.run_protocol(
+                scaling_rows, base_n=8, repeats=repeats, with_probe=True, pinned=pinned
+            )
             tag = os.environ.get("BENCH_ROUND", "r4")
             detail_dir = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "BENCH"
@@ -356,6 +362,7 @@ def main():
             ):
                 if key in sc:
                     out[key] = sc[key]
+            out["scaling_pinned"] = pinned
             out["efficiency"] = sc["scaling_efficiency_N_to_4N"]
             out["scaling_files_per_sec"] = {
                 cfg: sc[cfg]["files_per_sec"]
