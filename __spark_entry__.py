@@ -304,6 +304,35 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+# filtered-search slice for bm25_topk_filtered: metadata filter over the
+# index's docs table (lang via `in`, token-length dl via `range`) — the
+# oracle twin re-derives the same predicate over the raw documents table
+# (dl == len(tokens) by the 4-place tokenizer invariant)
+BM25_FILTER = {"and": [{"in": {"lang": ["en", "de"]}}, {"range": {"dl": {"gt": 60}}}]}
+
+
+def _q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-within-a-slice: BM25 top-k restricted to docs whose metadata
+    matches a koncorde filter (the SAME compiled-matcher kernel as
+    percolation), with GLOBAL corpus statistics — the filter gates
+    eligibility, never scores. Oracle: brute SQL with an eligibility CTE
+    over the raw documents table and the internal-sha tie-break."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_filtered(" ".join(BM25_QUERY_TERMS), BM25_FILTER, BM25_K)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 BM25_MANY_QUERIES = {
     "qa": "spark join merge",
     "qb": "filter window hash",
@@ -536,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_special": _q_perc_special,
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_filtered": _q_bm25_topk_filtered,
         "bm25_topk_many": _q_bm25_topk_many,
         "dedup_exact": _q_dedup_exact,
         "minhash16": _q_minhash16,
@@ -583,6 +613,20 @@ def oracle_sql() -> dict[str, str]:
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
     )
+    # BM25_FILTER re-derived over the raw documents table: lang is carried
+    # through corpus_from_documents verbatim; dl (index token count) equals
+    # len(tokens) here by the 4-place tokenizer invariant
+    from koncorde_spark.pipeline.text import tokens_sql as _toks_sql
+
+    bm25_filtered = bm25_brute_sql(
+        "documents",
+        BM25_QUERY_TERMS,
+        BM25_K,
+        tie_sql=internal_id,
+        filter_where=(
+            f"lang IN ('en', 'de') AND len({_toks_sql('text')}) > 60"
+        ),
+    )
     from koncorde_spark.fulltext.tokenizer import tokenize_text as _tok
 
     bm25_many = "\nUNION ALL\n".join(
@@ -617,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_brute": bm25,
         "bm25_topk": bm25_indexed,
+        "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_many": bm25_many,
         "dedup_exact": dedup.exact_groups_sql("documents"),
         "minhash16": dedup.minhash_signatures_sql("documents", num_perm=16),

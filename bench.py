@@ -120,6 +120,15 @@ def main():
         queries["bm25_topk_x10"] / max(queries["bm25_topk_many_10"], 1e-9), 2
     )
 
+    # filtered search (search-within-a-slice): percolation eligibility +
+    # masked-postings WAND; ~1/3-selective lang filter
+    timed(
+        "bm25_topk_filtered",
+        lambda: idx.topk_filtered(
+            "import return def", {"equals": {"lang": "python"}}, 10
+        ).collect(),
+    )
+
 
     # Spark-free serving tier over the same index (pyarrow + numpy WAND)
     from koncorde_spark.fulltext.serve import LocalSearcher

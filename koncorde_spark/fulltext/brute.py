@@ -83,6 +83,7 @@ def bm25_brute_sql(
     k1: float = 1.2,
     b: float = 0.75,
     tie_sql: str | None = None,
+    filter_where: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_brute_topk` (identical tokens + formula).
 
@@ -90,12 +91,24 @@ def bm25_brute_sql(
     to break score ties in the top-k cut instead of ``id_col`` — the
     indexed path cuts at k ordered by its INTERNAL sha-derived doc id, so
     its oracle must reproduce that exact tie-break or a tie group
-    straddling rank k picks different doc sets per engine."""
+    straddling rank k picks different doc sets per engine.
+
+    ``filter_where``: optional predicate over the source ``table`` columns
+    restricting which docs are ELIGIBLE for the top-k (the oracle twin of
+    Bm25Index.topk_filtered). Matching that contract, corpus statistics
+    (n, avgdl, df) are computed over the FULL table — the predicate only
+    gates the final candidate set."""
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     tie = "__tie" if tie_sql else id_col
     tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
     tie_carry = ", __tie" if tie_sql else ""
     tie_group = ", d3.__tie" if tie_sql else ""
+    elig_cte = (
+        f"elig AS (SELECT {id_col} FROM {table} WHERE {filter_where}),\n    "
+        if filter_where
+        else ""
+    )
+    elig_join = f" JOIN elig USING({id_col})" if filter_where else ""
     # the indexed path cuts by RAW score (WAND heap) before rounding, so
     # its oracle orders by the source column (qualified name bypasses the
     # rounded output alias); the Spark brute path orders by the rounded
@@ -116,12 +129,12 @@ def bm25_brute_sql(
       GROUP BY {id_col}, term
     ),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
+    {elig_cte}scored AS (
       SELECT tf.{id_col}{tie_group},
              sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
                  * tf.tf * ({k1} + 1.0)
                  / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
-      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
+      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}){elig_join} CROSS JOIN stats
       GROUP BY tf.{id_col}{tie_group}
     )
     SELECT {id_col}, round(score, 6)::DOUBLE AS score

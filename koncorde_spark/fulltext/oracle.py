@@ -16,10 +16,20 @@ from .wand import bm25_idf
 
 
 def bm25_oracle_topk(
-    corpus: pd.DataFrame, query: str, k: int, k1: float = 1.2, b: float = 0.75
+    corpus: pd.DataFrame,
+    query: str,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    eligible: "pd.Series | None" = None,
 ) -> pd.DataFrame:
     """corpus: pandas DF with (repo, path, commit, content). Returns
-    (doc_id, score) sorted by score desc, doc_id asc, head k."""
+    (doc_id, score) sorted by score desc, doc_id asc, head k.
+
+    ``eligible``: optional boolean mask aligned to ``corpus`` rows — the
+    filtered-search contract (topk_filtered): statistics (n_docs, avgdl,
+    df) come from the FULL corpus, the mask only gates which docs may
+    enter the top-k."""
     doc_ids = np.array(
         [doc_id_of(r, p, c) for r, p, c in zip(corpus["repo"], corpus["path"], corpus["commit"])],
         dtype=np.int64,
@@ -41,6 +51,8 @@ def bm25_oracle_topk(
         scores += np.where(tf > 0, idf * tfpart, 0.0)
 
     hit = scores > 0
+    if eligible is not None:
+        hit &= np.asarray(eligible, dtype=bool)
     out = pd.DataFrame({"doc_id": doc_ids[hit], "score": scores[hit]})
     out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
     return out.head(k).reset_index(drop=True)

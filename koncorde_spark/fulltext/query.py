@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codecs import delta_decode, varint_decode
+from .codecs import delta_decode, delta_encode, varint_decode
 from .indexer import read_meta
 from .tokenizer import tokenize_text
 from .wand import TermPostings, bm25_idf, topk_block_max_wand
@@ -39,6 +39,17 @@ TOPK_MANY_SCHEMA = T.StructType(
         T.StructField("query_id", T.StringType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("score", T.DoubleType()),
+    ]
+)
+
+# per-shard packed eligible-doc sets for filtered search: one row per shard
+# holding the sorted eligible doc ids delta+varint-encoded (same codec as
+# the dlpack), produced by one narrow shuffle of (shard, doc_id) pairs
+ELIG_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("elig_n", T.LongType()),
+        T.StructField("elig_ids", T.BinaryType()),
     ]
 )
 
@@ -80,6 +91,7 @@ def _decode_shard_postings(
     block_size: int,
     tombstones: np.ndarray | None = None,
     cache_ctx: tuple[str, dict[int, int]] | None = None,
+    allowed: np.ndarray | None = None,
 ) -> dict[str, list[TermPostings]]:
     """Decode one shard's postings rows into per-term TermPostings LISTS.
 
@@ -99,7 +111,12 @@ def _decode_shard_postings(
     needed: they come from the current-avgdl scores).
 
     ``cache_ctx`` = (index_dir, {shard: dlpack lineage_xor}): enables the
-    worker-global decoded-dlpack cache for this shard."""
+    worker-global decoded-dlpack cache for this shard.
+
+    ``allowed`` (sorted doc_ids): when present, ONLY these docs survive —
+    the eligibility mask of a filtered search (topk_filtered). Composes
+    with ``tombstones`` (allowed minus deleted); block metadata is rebuilt
+    under the same position-addressing rule as the tombstone path."""
     cache_key = None
     if cache_ctx is not None:
         index_dir, lineages = cache_ctx
@@ -123,21 +140,31 @@ def _decode_shard_postings(
         seg = row["avgdl_seg"] if "avgdl_seg" in row.index else None
         bound_scale = max(1.0, avgdl / float(seg)) if seg and seg > 0 else 1.0
         scores = idf * tfpart
+        keep = None
         if tombstones is not None and len(tombstones):
             pos = np.searchsorted(tombstones, ids)
-            keep = tombstones[np.minimum(pos, len(tombstones) - 1)] != ids
-            if not keep.all():
-                ids, scores = ids[keep], scores[keep]
-                if len(ids) == 0:
-                    continue
-                nb = (len(ids) + block_size - 1) // block_size
-                starts = np.arange(nb) * block_size
-                block_last = ids[np.minimum(starts + block_size - 1, len(ids) - 1)]
-                block_ub = np.maximum.reduceat(scores, starts)
-                out.setdefault(row["term"], []).append(
-                    TermPostings(ids, scores, block_last, block_ub, block_size)
-                )
+            alive = tombstones[np.minimum(pos, len(tombstones) - 1)] != ids
+            if not alive.all():
+                keep = alive
+        if allowed is not None:
+            if len(allowed) == 0:
                 continue
+            pos = np.searchsorted(allowed, ids)
+            elig = allowed[np.minimum(pos, len(allowed) - 1)] == ids
+            if not elig.all():
+                keep = elig if keep is None else (keep & elig)
+        if keep is not None:
+            ids, scores = ids[keep], scores[keep]
+            if len(ids) == 0:
+                continue
+            nb = (len(ids) + block_size - 1) // block_size
+            starts = np.arange(nb) * block_size
+            block_last = ids[np.minimum(starts + block_size - 1, len(ids) - 1)]
+            block_ub = np.maximum.reduceat(scores, starts)
+            out.setdefault(row["term"], []).append(
+                TermPostings(ids, scores, block_last, block_ub, block_size)
+            )
+            continue
         out.setdefault(row["term"], []).append(
             TermPostings(
                 doc_ids=ids,
@@ -254,6 +281,100 @@ class Bm25Index:
         per_shard_topk = (
             relevant.groupBy("shard")
             .cogroup(self.dlpack.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
+        )
+        return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_filtered(self, query: str, filters: dict, k: int = 10) -> DataFrame:
+        """BM25 top-k restricted to docs whose METADATA matches a koncorde
+        filter — search-within-a-slice (repo / path / commit / lang /
+        content_sha / dl are the filterable columns of the index's docs
+        table; any registered keyword works, including geo/match/select).
+
+        Semantics: corpus statistics (N, avgdl, per-term df → idf) stay
+        GLOBAL — the filter restricts which docs may appear in the top-k,
+        not how candidates are scored (the standard filtered-search
+        contract: a doc's score is identical with and without the filter).
+        The result is the EXACT top-k of the eligible subset, not a
+        post-filtered cut of the unfiltered top-k: eligibility is applied
+        entry-wise at postings decode and each surviving segment's block
+        bounds are REBUILT, so block-max WAND skip logic stays admissible
+        over the masked lists.
+
+        Plan shape (scales like topk):
+          docs metadata scan → zero-shuffle percolation mapInPandas
+          (the SAME compiled-matcher kernel as spark/percolate — exact
+          filter-semantics parity by construction; narrow columns only,
+          content never read) → one (shard, doc_id) shuffle packed to a
+          single delta+varint row per shard → inner-joined onto the
+          dlpack cogroup side, so shards with ZERO eligible docs are
+          pruned before any postings decode. Unselective filters cost one
+          extra searchsorted per posting entry; selective filters shrink
+          the WAND frontier and get FASTER than unfiltered topk.
+        """
+        from ..spark.percolate import percolate
+
+        q_terms = sorted(set(tokenize_text(query)))
+        if not q_terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b, block_size = meta["k1"], meta["b"], meta["block_size"]
+        dfs = self._df_for(q_terms)
+        idf_map = {t: float(bm25_idf(n_docs, df)) for t, df in dfs.items()}
+        if not idf_map:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        # eligibility: percolate the docs METADATA against the one filter
+        # (shard rides through keep_cols — no join back to the docs table)
+        from .. import Koncorde
+
+        kon = Koncorde()
+        kon.register(filters)
+        elig = percolate(
+            self.docs, kon.compiled(), id_col="doc_id", keep_cols=["shard"]
+        ).select("shard", "doc_id")
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = np.unique(pdf["doc_id"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "elig_n": [len(ids)],
+                    "elig_ids": [delta_encode(ids)],
+                }
+            )
+
+        packs = self.dlpack.join(
+            elig.groupBy("shard").applyInPandas(pack, schema=ELIG_SCHEMA),
+            "shard",
+            "inner",
+        )
+
+        k1_, b_, bs_, avgdl_, k_ = k1, b, block_size, avgdl, k
+        idf_map_b = idf_map
+        tomb = self.tombstones
+        cctx = self._cache_ctx
+
+        def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(post_pdf) == 0 or len(pack_pdf) == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            prow = pack_pdf.iloc[0]
+            allowed = delta_decode(bytes(prow["elig_ids"]), int(prow["elig_n"]))
+            by_term = _decode_shard_postings(
+                post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_, tomb, cctx,
+                allowed=allowed.astype(np.int64),
+            )
+            tps = [tp for segs in by_term.values() for tp in segs]
+            ids, scores = topk_block_max_wand(tps, k_)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        relevant = self.postings.where(F.col("term").isin(list(idf_map)))
+        per_shard_topk = (
+            relevant.groupBy("shard")
+            .cogroup(packs.groupBy("shard"))
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

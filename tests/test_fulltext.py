@@ -828,3 +828,120 @@ class TestDlpackWorkerCache:
         for i in range(q._DLPACK_CACHE_MAX + 10):
             q._decode_dlpack(pack, ("/idx", i, 0))
         assert len(q._DLPACK_CACHE) <= q._DLPACK_CACHE_MAX
+
+
+class TestTopkFiltered:
+    """Percolation-filtered BM25 search (Bm25Index.topk_filtered): exact
+    top-k of the eligible subset under GLOBAL corpus statistics, verified
+    against the pandas oracle's eligibility-mask contract."""
+
+    def test_matches_oracle_with_lang_filter(self, spark, small_corpus_pdf, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        for lang in ("python", "javascript"):
+            got = idx.topk_filtered(
+                "def function import return", {"equals": {"lang": lang}}, k=15
+            ).toPandas()
+            exp = bm25_oracle_topk(
+                small_corpus_pdf,
+                "def function import return",
+                15,
+                eligible=small_corpus_pdf["lang"] == lang,
+            )
+            assert list(got["doc_id"]) == list(exp["doc_id"]), lang
+            assert np.allclose(got["score"], exp["score"], atol=1e-9), lang
+
+    def test_scores_identical_with_and_without_filter(
+        self, spark, small_corpus_pdf, bm25_index_dir
+    ):
+        """The filtered-search contract: a doc's score must not depend on
+        the filter (stats stay global) — every (doc, score) in the filtered
+        result appears with the SAME score in a large unfiltered top-k."""
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        q = "import ident_00042 return"
+        unfiltered = idx.topk(q, len(small_corpus_pdf)).toPandas()
+        ref = dict(zip(unfiltered["doc_id"], unfiltered["score"]))
+        got = idx.topk_filtered(q, {"equals": {"lang": "go"}}, k=10).toPandas()
+        assert len(got) > 0
+        for r in got.itertuples():
+            assert r.doc_id in ref
+            assert abs(ref[r.doc_id] - r.score) < 1e-12
+
+    def test_everything_filter_equals_plain_topk(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        q = "def function import"
+        plain = idx.topk(q, 12).toPandas()
+        filt = idx.topk_filtered(q, {}, k=12).toPandas()
+        assert list(filt["doc_id"]) == list(plain["doc_id"])
+        assert np.allclose(filt["score"], plain["score"], atol=0)
+
+    def test_regexp_filter_on_path(self, spark, small_corpus_pdf, bm25_index_dir):
+        """Non-equals keyword through the same compiled-matcher kernel."""
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        filt = {"regexp": {"path": {"value": "^src/dir1[0-3]/"}}}
+        got = idx.topk_filtered("import return", filt, k=20).toPandas()
+        import re
+
+        mask = small_corpus_pdf["path"].map(
+            lambda p: re.search("^src/dir1[0-3]/", p) is not None
+        )
+        exp = bm25_oracle_topk(small_corpus_pdf, "import return", 20, eligible=mask)
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert np.allclose(got["score"], exp["score"], atol=1e-9)
+
+    def test_empty_eligibility_returns_no_rows(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        got = idx.topk_filtered("import", {"equals": {"lang": "cobol"}}, k=5)
+        assert got.count() == 0
+
+    def test_unknown_terms_return_no_rows(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        assert idx.topk_filtered("zzz_unknown", {"equals": {"lang": "go"}}, 5).count() == 0
+        assert idx.topk_filtered("", {"equals": {"lang": "go"}}, 5).count() == 0
+
+    def test_composes_with_tombstones(self, spark, tmp_path):
+        """Filtered search over an index with deletions: eligibility mask
+        AND tombstones both apply; block bounds rebuilt over survivors."""
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index, delete_docs
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        pdf = synthetic_corpus_pandas(n_rows=120, seed=7)
+        out = str(tmp_path / "idx")
+        build_index(spark, spark.createDataFrame(pdf), out, IndexConfig(n_shards=2))
+        idx = Bm25Index(spark, out)
+
+        # delete the unfiltered-filtered top hit so the filtered search must
+        # promote the next eligible doc
+        first = idx.topk_filtered(
+            "import return", {"equals": {"lang": "python"}}, k=1
+        ).toPandas()
+        assert len(first) == 1
+        docs = spark.read.parquet(os.path.join(out, "docs")).toPandas()
+        victim = docs[docs["doc_id"] == first["doc_id"].iloc[0]].iloc[0]
+        delete_docs(spark, out, [int(victim["doc_id"])])
+
+        idx2 = Bm25Index(spark, out)
+        got = idx2.topk_filtered(
+            "import return", {"equals": {"lang": "python"}}, k=10
+        ).toPandas()
+        assert first["doc_id"].iloc[0] not in set(got["doc_id"])
+        mask = (pdf["lang"] == "python") & ~(
+            (pdf["repo"] == victim["repo"])
+            & (pdf["path"] == victim["path"])
+            & (pdf["commit"] == victim["commit"])
+        )
+        exp = bm25_oracle_topk(pdf, "import return", 10, eligible=mask)
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert np.allclose(got["score"], exp["score"], atol=1e-9)
