@@ -304,6 +304,27 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _q_bm25_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-semantics) top-k: only docs containing EVERY query
+    term qualify; scores are mode-independent (identical to the "any"
+    path for qualifying docs). Oracle: brute SQL + HAVING all-terms test
+    with the internal-sha tie-break."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk(" ".join(BM25_QUERY_TERMS), BM25_K, mode="all")
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 # filtered-search slice for bm25_topk_filtered: metadata filter over the
 # index's docs table (lang via `in`, token-length dl via `range`) — the
 # oracle twin re-derives the same predicate over the raw documents table
@@ -565,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_special": _q_perc_special,
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_all": _q_bm25_topk_all,
         "bm25_topk_filtered": _q_bm25_topk_filtered,
         "bm25_topk_many": _q_bm25_topk_many,
         "dedup_exact": _q_dedup_exact,
@@ -618,6 +640,10 @@ def oracle_sql() -> dict[str, str]:
     # len(tokens) here by the 4-place tokenizer invariant
     from koncorde_spark.pipeline.text import tokens_sql as _toks_sql
 
+    bm25_all = bm25_brute_sql(
+        "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id,
+        conjunctive=True,
+    )
     bm25_filtered = bm25_brute_sql(
         "documents",
         BM25_QUERY_TERMS,
@@ -661,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_brute": bm25,
         "bm25_topk": bm25_indexed,
+        "bm25_topk_all": bm25_all,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_many": bm25_many,
         "dedup_exact": dedup.exact_groups_sql("documents"),

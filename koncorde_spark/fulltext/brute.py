@@ -84,6 +84,7 @@ def bm25_brute_sql(
     b: float = 0.75,
     tie_sql: str | None = None,
     filter_where: str | None = None,
+    conjunctive: bool = False,
 ) -> str:
     """DuckDB twin of :func:`bm25_brute_topk` (identical tokens + formula).
 
@@ -97,7 +98,12 @@ def bm25_brute_sql(
     restricting which docs are ELIGIBLE for the top-k (the oracle twin of
     Bm25Index.topk_filtered). Matching that contract, corpus statistics
     (n, avgdl, df) are computed over the FULL table — the predicate only
-    gates the final candidate set."""
+    gates the final candidate set.
+
+    ``conjunctive``: AND-semantics (the oracle twin of topk(mode="all")) —
+    only docs containing EVERY query term qualify; scores are unchanged
+    (the tf CTE has one row per (doc, present term), so a count equal to
+    the number of distinct query terms is exactly the all-terms test)."""
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     tie = "__tie" if tie_sql else id_col
     tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
@@ -114,6 +120,10 @@ def bm25_brute_sql(
     # rounded output alias); the Spark brute path orders by the rounded
     # score, so its oracle keeps the alias.
     order_score = "scored.score" if tie_sql else "score"
+    n_distinct_terms = len(set(query_terms))
+    having = (
+        f"\n      HAVING count(*) = {n_distinct_terms}" if conjunctive else ""
+    )
     return f"""
     WITH d2 AS (
       SELECT {id_col}{tie_proj},
@@ -135,7 +145,7 @@ def bm25_brute_sql(
                  * tf.tf * ({k1} + 1.0)
                  / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
       FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}){elig_join} CROSS JOIN stats
-      GROUP BY tf.{id_col}{tie_group}
+      GROUP BY tf.{id_col}{tie_group}{having}
     )
     SELECT {id_col}, round(score, 6)::DOUBLE AS score
     FROM scored

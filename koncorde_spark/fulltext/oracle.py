@@ -22,6 +22,7 @@ def bm25_oracle_topk(
     k1: float = 1.2,
     b: float = 0.75,
     eligible: "pd.Series | None" = None,
+    require_all: bool = False,
 ) -> pd.DataFrame:
     """corpus: pandas DF with (repo, path, commit, content). Returns
     (doc_id, score) sorted by score desc, doc_id asc, head k.
@@ -29,7 +30,10 @@ def bm25_oracle_topk(
     ``eligible``: optional boolean mask aligned to ``corpus`` rows — the
     filtered-search contract (topk_filtered): statistics (n_docs, avgdl,
     df) come from the FULL corpus, the mask only gates which docs may
-    enter the top-k."""
+    enter the top-k.
+
+    ``require_all``: AND-semantics (topk(mode="all") twin) — only docs
+    containing every query term qualify; scores stay mode-independent."""
     doc_ids = np.array(
         [doc_id_of(r, p, c) for r, p, c in zip(corpus["repo"], corpus["path"], corpus["commit"])],
         dtype=np.int64,
@@ -41,8 +45,10 @@ def bm25_oracle_topk(
 
     q_terms = sorted(set(tokenize_text(query)))
     scores = np.zeros(n_docs, dtype=np.float64)
+    has_all = np.ones(n_docs, dtype=bool)
     for term in q_terms:
         tf = np.array([t.count(term) for t in toks], dtype=np.float64)
+        has_all &= tf > 0
         df = int((tf > 0).sum())
         if df == 0:
             continue
@@ -51,6 +57,8 @@ def bm25_oracle_topk(
         scores += np.where(tf > 0, idf * tfpart, 0.0)
 
     hit = scores > 0
+    if require_all:
+        hit &= has_all
     if eligible is not None:
         hit &= np.asarray(eligible, dtype=bool)
     out = pd.DataFrame({"doc_id": doc_ids[hit], "score": scores[hit]})

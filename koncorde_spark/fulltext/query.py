@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from .codecs import delta_decode, delta_encode, varint_decode
 from .indexer import read_meta
 from .tokenizer import tokenize_text
-from .wand import TermPostings, bm25_idf, topk_block_max_wand
+from .wand import TermPostings, bm25_idf, topk_block_max_wand, topk_conjunctive
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -242,8 +242,16 @@ class Bm25Index:
         rows = self.terms.where(F.col("term").isin(q_terms)).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
-    def topk(self, query: str, k: int = 10) -> DataFrame:
-        """Top-k (doc_id, score) for a free-text query, rank-deterministic."""
+    def topk(self, query: str, k: int = 10, mode: str = "any") -> DataFrame:
+        """Top-k (doc_id, score) for a free-text query, rank-deterministic.
+
+        ``mode``: "any" (default) ranks docs containing any query term
+        (disjunctive, block-max WAND); "all" restricts to docs containing
+        EVERY query term (conjunctive, intersection-driven — cost bounded
+        by the rarest term's postings). Scores are mode-independent: a doc
+        in the "all" result carries exactly its "any" score."""
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
         q_terms = sorted(set(tokenize_text(query)))
         if not q_terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -256,7 +264,9 @@ class Bm25Index:
         # vocabularies; a tiny distributed lookup otherwise)
         dfs = self._df_for(q_terms)
         idf_map = {t: float(bm25_idf(n_docs, df)) for t, df in dfs.items()}
-        if not idf_map:
+        if not idf_map or (mode == "all" and len(idf_map) < len(q_terms)):
+            # conjunctive with a term absent from the global vocabulary can
+            # match nothing — skip the job entirely
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
         relevant = self.postings.where(F.col("term").isin(list(idf_map)))
@@ -266,6 +276,7 @@ class Bm25Index:
         k_ = k
         tomb = self.tombstones
         cctx = self._cache_ctx
+        conj = mode == "all"
 
         def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(post_pdf) == 0 or len(pack_pdf) == 0:
@@ -274,8 +285,11 @@ class Bm25Index:
             by_term = _decode_shard_postings(
                 post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_, tomb, cctx
             )
-            tps = [tp for segs in by_term.values() for tp in segs]
-            ids, scores = topk_block_max_wand(tps, k_)
+            if conj:
+                ids, scores = topk_conjunctive(by_term, k_, require=len(idf_map_b))
+            else:
+                tps = [tp for segs in by_term.values() for tp in segs]
+                ids, scores = topk_block_max_wand(tps, k_)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         per_shard_topk = (

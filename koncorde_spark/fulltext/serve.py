@@ -23,7 +23,7 @@ import pyarrow.dataset as ds
 from .codecs import delta_decode, varint_decode
 from .indexer import read_meta
 from .tokenizer import tokenize_text
-from .wand import TermPostings, bm25_idf, topk_block_max_wand
+from .wand import TermPostings, bm25_idf, topk_block_max_wand, topk_conjunctive
 
 
 def _local_tombstones(index_dir: str) -> "np.ndarray":
@@ -59,13 +59,18 @@ class LocalSearcher:
                 varint_decode(bytes(dls_b), int(n)).astype(np.float64),
             )
 
-    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def topk(
+        self, query: str, k: int = 10, mode: str = "any"
+    ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), ties broken by ascending doc_id —
-        rank-identical to the distributed Bm25Index.topk path."""
+        rank-identical to the distributed Bm25Index.topk path (both
+        modes: the conjunctive path shares wand.topk_conjunctive)."""
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
         q_terms = sorted(set(tokenize_text(query)))
         idf = {t: float(bm25_idf(self.meta["n_docs"], self._df[t]))
                for t in q_terms if t in self._df}
-        if not idf:
+        if not idf or (mode == "all" and len(idf) < len(q_terms)):
             return []
         k1, b = self.meta["k1"], self.meta["b"]
         avgdl, bs = self.meta["avgdl"], self.meta["block_size"]
@@ -76,7 +81,7 @@ class LocalSearcher:
         tbl = self._postings.to_table(
             filter=ds.field("term").isin(list(idf)), columns=cols
         )
-        by_shard: dict[int, list[TermPostings]] = {}
+        by_shard: dict[int, dict[str, list[TermPostings]]] = {}
         for i in range(tbl.num_rows):
             term = tbl["term"][i].as_py()
             shard = int(tbl["shard"][i].as_py())
@@ -102,7 +107,7 @@ class LocalSearcher:
                     # rebuild position-addressed block metadata (exact)
                     nb = (len(ids) + bs - 1) // bs
                     starts = np.arange(nb) * bs
-                    by_shard.setdefault(shard, []).append(
+                    by_shard.setdefault(shard, {}).setdefault(term, []).append(
                         TermPostings(
                             ids, scores,
                             ids[np.minimum(starts + bs - 1, len(ids) - 1)],
@@ -110,7 +115,7 @@ class LocalSearcher:
                         )
                     )
                     continue
-            by_shard.setdefault(shard, []).append(
+            by_shard.setdefault(shard, {}).setdefault(term, []).append(
                 TermPostings(
                     doc_ids=ids,
                     scores=scores,
@@ -122,8 +127,12 @@ class LocalSearcher:
 
         cand_ids: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []
-        for shard, tps in by_shard.items():
-            ids, scores = topk_block_max_wand(tps, k)
+        for shard, by_term in by_shard.items():
+            if mode == "all":
+                ids, scores = topk_conjunctive(by_term, k, require=len(idf))
+            else:
+                tps = [tp for segs in by_term.values() for tp in segs]
+                ids, scores = topk_block_max_wand(tps, k)
             cand_ids.append(ids)
             cand_scores.append(scores)
         ids = np.concatenate(cand_ids)

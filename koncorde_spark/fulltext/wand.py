@@ -114,6 +114,48 @@ def topk_block_max_wand(terms: list[TermPostings], k: int) -> tuple[np.ndarray, 
     return best_ids, best_scores
 
 
+def topk_conjunctive(
+    by_term: dict[str, list[TermPostings]], k: int, require: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ALL-terms (AND-semantics) top-k within one shard: a doc qualifies
+    only if it carries EVERY query term; qualifying docs score exactly as
+    in the disjunctive path (sum of per-term scores), so a doc's score is
+    mode-independent. ``require`` = number of query terms present in the
+    GLOBAL vocabulary — a shard missing any of them (len(by_term) <
+    require) can contain no qualifying doc and short-circuits to empty.
+
+    Candidate generation is intersection-driven (smallest merged list
+    first), so cost is bounded by the rarest term's postings — the
+    standard conjunctive advantage over WAND's union frontier."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if require == 0 or len(by_term) < require:
+        return empty
+    merged: list[tuple[np.ndarray, np.ndarray]] = []
+    for segs in by_term.values():
+        ids = np.concatenate([s.doc_ids for s in segs])
+        sc = np.concatenate([s.scores for s in segs])
+        if len(segs) > 1:
+            # segments are disjoint per (term, shard); a stable sort
+            # restores one globally-sorted list per term
+            order = np.argsort(ids, kind="stable")
+            ids, sc = ids[order], sc[order]
+        merged.append((ids, sc))
+    merged.sort(key=lambda p: len(p[0]))
+    cand = merged[0][0]
+    for ids, _ in merged[1:]:
+        if len(cand) == 0:
+            return empty
+        pos = np.searchsorted(ids, cand)
+        cand = cand[ids[np.minimum(pos, len(ids) - 1)] == cand]
+    if len(cand) == 0:
+        return empty
+    total = np.zeros(len(cand), dtype=np.float64)
+    for ids, sc in merged:
+        total += sc[np.searchsorted(ids, cand)]
+    order = np.lexsort((cand, -total))[:k]
+    return cand[order], total[order]
+
+
 def _score_all(terms: list[TermPostings], k: int) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive vectorized scoring (small unions — faster than skipping)."""
     ids = np.concatenate([t.doc_ids for t in terms])

@@ -945,3 +945,67 @@ class TestTopkFiltered:
         exp = bm25_oracle_topk(pdf, "import return", 10, eligible=mask)
         assert list(got["doc_id"]) == list(exp["doc_id"])
         assert np.allclose(got["score"], exp["score"], atol=1e-9)
+
+
+class TestTopkConjunctive:
+    """mode="all" (AND-semantics): only docs containing every query term
+    qualify; scores are mode-independent; serve tier is rank-identical."""
+
+    def test_matches_oracle_require_all(self, spark, small_corpus_pdf, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        q = "import return def"
+        got = idx.topk(q, 15, mode="all").toPandas()
+        exp = bm25_oracle_topk(small_corpus_pdf, q, 15, require_all=True)
+        assert len(got) > 0
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert np.allclose(got["score"], exp["score"], atol=1e-9)
+
+    def test_scores_mode_independent(self, spark, small_corpus_pdf, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        q = "import ident_00042"
+        any_ = idx.topk(q, len(small_corpus_pdf)).toPandas()
+        ref = dict(zip(any_["doc_id"], any_["score"]))
+        all_ = idx.topk(q, 10, mode="all").toPandas()
+        assert len(all_) > 0
+        for r in all_.itertuples():
+            assert abs(ref[r.doc_id] - r.score) < 1e-12
+
+    def test_result_subset_of_any(self, spark, small_corpus_pdf, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        q = "import return"
+        any_ids = set(idx.topk(q, len(small_corpus_pdf)).toPandas()["doc_id"])
+        all_ids = set(idx.topk(q, len(small_corpus_pdf), mode="all").toPandas()["doc_id"])
+        assert all_ids <= any_ids
+
+    def test_absent_term_empty(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        assert idx.topk("import zzz_absent_term", 5, mode="all").count() == 0
+
+    def test_serve_parity(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        searcher = LocalSearcher(bm25_index_dir)
+        for q in ("import return def", "import ident_00042", "import zzz_absent"):
+            dist = [
+                (int(r.doc_id), round(float(r.score), 12))
+                for r in idx.topk(q, 10, mode="all").toPandas().itertuples()
+            ]
+            local = [(d, round(s, 12)) for d, s in searcher.topk(q, 10, mode="all")]
+            assert dist == local, q
+
+    def test_invalid_mode_raises(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        with pytest.raises(ValueError):
+            idx.topk("import", 5, mode="phrase-ish")
