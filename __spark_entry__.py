@@ -19,7 +19,11 @@ from koncorde_spark import Koncorde
 from koncorde_spark.engine.to_sql import percolation_oracle_sql
 from koncorde_spark.geo.oracle import geo_percolation_oracle_sql
 from koncorde_spark.spark.percolate import percolate
-from koncorde_spark.fulltext.brute import bm25_brute_sql, bm25_brute_topk
+from koncorde_spark.fulltext.brute import (
+    bm25_brute_sql,
+    bm25_brute_topk,
+    bm25_phrase_sql,
+)
 from koncorde_spark.pipeline import dedup, sampling, similarity, text
 from koncorde_spark.rounding import round_away as _round_away
 
@@ -297,6 +301,33 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
     idx = Bm25Index(spark, idx_dir)
     top = idx.topk(" ".join(BM25_QUERY_TERMS), BM25_K)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+BM25_PHRASE = "spark batch"
+
+
+def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over a POSITIONAL index (token offsets stored
+    per posting entry, delta+varint): consecutive-offset adjacency chained
+    vectorized in the shared phrase kernel; classic phrase-query scoring
+    (phrase tf + summed member idfs). Oracle: bm25_phrase_sql — a DuckDB
+    list lambda counts the same occurrences over the same tokens."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir) + "_pos"
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(
+        spark, corpus, idx_dir, IndexConfig(n_shards=8, positions=True), resume=True
+    )
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_phrase(BM25_PHRASE, BM25_K)
     mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
         F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
         _round_away(F.col("score"), 6).alias("score"),
@@ -587,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_all": _q_bm25_topk_all,
+        "bm25_phrase": _q_bm25_phrase,
         "bm25_topk_filtered": _q_bm25_topk_filtered,
         "bm25_topk_many": _q_bm25_topk_many,
         "dedup_exact": _q_dedup_exact,
@@ -640,6 +672,9 @@ def oracle_sql() -> dict[str, str]:
     # len(tokens) here by the 4-place tokenizer invariant
     from koncorde_spark.pipeline.text import tokens_sql as _toks_sql
 
+    bm25_phrase = bm25_phrase_sql(
+        "documents", BM25_PHRASE.split(), BM25_K, tie_sql=internal_id
+    )
     bm25_all = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id,
         conjunctive=True,
@@ -688,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_brute": bm25,
         "bm25_topk": bm25_indexed,
         "bm25_topk_all": bm25_all,
+        "bm25_phrase": bm25_phrase,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_many": bm25_many,
         "dedup_exact": dedup.exact_groups_sql("documents"),

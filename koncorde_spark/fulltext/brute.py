@@ -152,3 +152,78 @@ def bm25_brute_sql(
     ORDER BY {order_score} DESC, {tie} ASC
     LIMIT {k}
     """
+
+
+def bm25_phrase_sql(
+    table: str,
+    phrase_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of Bm25Index.topk_phrase / LocalSearcher.phrase.
+
+    ``phrase_terms`` is the ORDERED token sequence (repeats allowed).
+    Phrase occurrences are exact consecutive offsets in the canonical
+    token stream, counted with a list lambda over 1-based DuckDB list
+    indexing; idf is the sum of member-term idfs with repeated tokens
+    contributing once per repetition (the qmult VALUES list), matching
+    the phrase.py kernel's classic phrase-query scoring."""
+    from collections import Counter
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    m = len(phrase_terms)
+    uniq = sorted(set(phrase_terms))
+    terms = ", ".join(q(t) for t in uniq)
+    mults = ", ".join(
+        f"({q(t)}, {c})" for t, c in sorted(Counter(phrase_terms).items())
+    )
+    adj = " AND ".join(
+        f"toks[i + {j}] = {q(t)}" for j, t in enumerate(phrase_terms)
+    )
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    order_score = "scored.score" if tie_sql else "score"
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col}{tie_proj},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    tf AS (
+      SELECT {id_col}, term
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      WHERE term IN ({terms})
+      GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qmult(term, mult) AS (VALUES {mults}),
+    idfsum AS (
+      SELECT sum(qmult.mult * ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS idf
+      FROM qmult JOIN dfreq USING(term) CROSS JOIN stats
+    ),
+    ph AS (
+      SELECT {id_col}{tie_carry}, dl,
+             len(list_filter(range(1, len(toks) - {m} + 2), i -> {adj})) AS ptf
+      FROM d3
+    ),
+    scored AS (
+      SELECT {id_col}{tie_carry},
+             idfsum.idf * ptf * ({k1} + 1.0)
+               / (ptf + {k1} * (1.0 - {b} + {b} * ph.dl / stats.avgdl)) AS score
+      FROM ph CROSS JOIN idfsum CROSS JOIN stats
+      WHERE ptf > 0
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score
+    FROM scored
+    ORDER BY {order_score} DESC, {tie} ASC
+    LIMIT {k}
+    """

@@ -144,3 +144,28 @@ def delta_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     """Inverse of :func:`delta_encode`; returns uint64 doc IDs."""
     deltas = varint_decode(buf, count)
     return np.cumsum(deltas, dtype=np.uint64)
+
+
+def gather_groups(
+    values: np.ndarray, group_offsets: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Permute concatenated variable-length groups by ``order`` without a
+    per-group Python loop.
+
+    ``values`` holds n_groups concatenated groups delimited by
+    ``group_offsets`` (length n_groups+1); ``order`` is a permutation of
+    group indices. Returns (reordered values, new group_offsets). Used to
+    carry per-entry position lists through the entry-level lexsorts of the
+    postings build (one np.repeat + one arange per call — the same
+    bandwidth-bound discipline as the codecs above)."""
+    lens = np.diff(group_offsets)
+    new_lens = lens[order]
+    total = int(group_offsets[-1])
+    new_offsets = np.concatenate(([0], np.cumsum(new_lens)))
+    if total == 0:
+        return values[:0], new_offsets.astype(np.int64)
+    begins = new_offsets[:-1]
+    flat_idx = (
+        np.repeat(group_offsets[:-1][order] - begins, new_lens) + np.arange(total)
+    )
+    return values[flat_idx], new_offsets.astype(np.int64)

@@ -51,6 +51,7 @@ from .codecs import (
     delta_decode_groups,
     delta_encode,
     delta_encode_groups,
+    gather_groups,
     varint_decode,
     varint_encode,
     varint_encode_groups,
@@ -68,9 +69,19 @@ class IndexConfig:
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
     block_size: int = BLOCK_SIZE
+    # positional postings (token offsets per entry, delta+varint) — opt-in:
+    # enables exact phrase search (topk_phrase / LocalSearcher.phrase) at
+    # ~one extra varint per token of index size and a sort-based (instead
+    # of hash) tf aggregation in the partials stage
+    positions: bool = False
 
     def fingerprint(self) -> str:
-        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+        d = asdict(self)
+        if not d.get("positions"):
+            # pre-positions indexes hashed a dict without the key; keep
+            # their fingerprints (and thus resume) valid
+            d.pop("positions", None)
+        return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
 
 
 DOCS_SCHEMA = T.StructType(
@@ -170,6 +181,12 @@ def _doc_ids_series(repo: pd.Series, path: pd.Series, commit: pd.Series) -> np.n
 # ---------------------------------------------------------------------------
 
 
+def _with_pos(schema: T.StructType) -> T.StructType:
+    """Schema variant carrying per-entry position lists (delta+varint per
+    entry, entry boundaries implied by the tf values)."""
+    return T.StructType(schema.fields + [T.StructField("pos", T.BinaryType())])
+
+
 def _docs_stage_fn(n_shards: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -212,7 +229,7 @@ def _docs_stage_fn(n_shards: int):
 HOT_TERM_BATCH_FRACTION = 0.20
 
 
-def _partials_fn(n_shards: int):
+def _partials_fn(n_shards: int, positions: bool = False):
     """Tokenize + per-input-partition partial postings (map-side combine).
 
     Partial key is (term, salt): salt 0 for the long tail, doc-shard for
@@ -221,6 +238,12 @@ def _partials_fn(n_shards: int):
     across n_shards reducers — explicit skew control for the one shuffle
     this stage performs. Everything below is numpy; the only Python loop
     is O(groups) byte-slicing.
+
+    ``positions``: also carry per-entry token-offset lists (delta+varint,
+    entry boundaries implied by tf). The tf aggregation then runs as one
+    stable sort over the occurrence stream instead of the Arrow hash
+    aggregation — the sort is what groups each entry's occurrences while
+    preserving ascending position order.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,18 +257,37 @@ def _partials_fn(n_shards: int):
             if len(term_codes) == 0:
                 continue
             n_terms = len(term_uniques)
-            # tf per (doc, term): single-pass C++ hash aggregation (cheaper
-            # in memory traffic than a sort-based np.unique over all tokens)
-            import pyarrow as pa
-
             combo = flat_rows * n_terms + term_codes
-            agg = (
-                pa.table({"k": combo})
-                .group_by("k")
-                .aggregate([("k", "count")])
-            )
-            uniq_combo = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-            tf = agg["k_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if positions:
+                # token offset of each occurrence within its document:
+                # the flat stream is row-major, so offset = index − row start
+                occ_idx = np.arange(len(flat_rows), dtype=np.int64)
+                row_change = np.nonzero(np.diff(flat_rows))[0] + 1
+                run_starts = np.concatenate(([0], row_change))
+                run_lens = np.diff(np.concatenate((run_starts, [len(flat_rows)])))
+                occ_pos = occ_idx - np.repeat(occ_idx[run_starts], run_lens)
+                # stable sort groups occurrences by (doc, term) while
+                # keeping each entry's positions ascending
+                occ_order = np.argsort(combo, kind="stable")
+                sc = combo[occ_order]
+                occ_pos = occ_pos[occ_order]
+                entry_bounds = np.nonzero(np.diff(sc))[0] + 1
+                occ_off = np.concatenate(([0], entry_bounds, [len(sc)])).astype(np.int64)
+                uniq_combo = sc[occ_off[:-1]]
+                tf = np.diff(occ_off)
+            else:
+                # tf per (doc, term): single-pass C++ hash aggregation
+                # (cheaper in memory traffic than a sort-based np.unique
+                # over all tokens when positions are not kept)
+                import pyarrow as pa
+
+                agg = (
+                    pa.table({"k": combo})
+                    .group_by("k")
+                    .aggregate([("k", "count")])
+                )
+                uniq_combo = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+                tf = agg["k_count"].to_numpy(zero_copy_only=False).astype(np.int64)
             u_rows = (uniq_combo // n_terms).astype(np.int64)
             u_terms = (uniq_combo % n_terms).astype(np.int64)
 
@@ -278,21 +320,36 @@ def _partials_fn(n_shards: int):
             starts = offsets[:-1]
             counts = np.diff(offsets)
             ids_mv, tf_mv, dl_mv = memoryview(ids_buf), memoryview(tf_buf), memoryview(dl_buf)
-            yield pd.DataFrame(
-                {
-                    "term": term_uniques[g_terms[starts]],
-                    "salt": g_salt[starts].astype(np.int32),
-                    "n": counts,
-                    "doc_ids": [bytes(ids_mv[ids_off[i]: ids_off[i + 1]]) for i in range(len(starts))],
-                    "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
-                    "dls": [bytes(dl_mv[dl_off[i]: dl_off[i + 1]]) for i in range(len(starts))],
-                }
-            )
+            out = {
+                "term": term_uniques[g_terms[starts]],
+                "salt": g_salt[starts].astype(np.int32),
+                "n": counts,
+                "doc_ids": [bytes(ids_mv[ids_off[i]: ids_off[i + 1]]) for i in range(len(starts))],
+                "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
+                "dls": [bytes(dl_mv[dl_off[i]: dl_off[i + 1]]) for i in range(len(starts))],
+            }
+            if positions:
+                # carry each entry's position list through the entry
+                # lexsort, then delta-encode per ENTRY (boundaries implied
+                # by tf at decode time) and byte-slice per (term, salt)
+                # group at entry boundaries
+                g_pos, g_occ_off = gather_groups(occ_pos, occ_off, order)
+                pos_buf, pos_boff = delta_encode_groups(
+                    g_pos.astype(np.uint64), g_occ_off
+                )
+                pos_mv = memoryview(pos_buf)
+                ends = starts + counts
+                out["pos"] = [
+                    bytes(pos_mv[pos_boff[starts[i]]: pos_boff[ends[i]]])
+                    for i in range(len(starts))
+                ]
+            yield pd.DataFrame(out)
 
     return run
 
 
-def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_shards: int):
+def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_shards: int,
+                        positions: bool = False):
     """Merge ALL (term, salt) groups in one shuffle partition, vectorized.
 
     Rows arrive hash-partitioned by (term, salt); within the partition we
@@ -316,8 +373,15 @@ def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_sh
         ids = delta_decode_groups(
             varint_decode(b"".join(pdf["doc_ids"]), int(counts.sum())), row_offsets
         ).astype(np.int64)
-        tfs = varint_decode(b"".join(pdf["tfs"]), int(counts.sum())).astype(np.float64)
+        tfs_i = varint_decode(b"".join(pdf["tfs"]), int(counts.sum()))
+        tfs = tfs_i.astype(np.float64)
         dls = varint_decode(b"".join(pdf["dls"]), int(counts.sum())).astype(np.float64)
+        if positions:
+            # entry-level position lists: boundaries are the tf values
+            occ_off = np.concatenate(([0], np.cumsum(tfs_i))).astype(np.int64)
+            pos_abs = delta_decode_groups(
+                varint_decode(b"".join(pdf["pos"]), int(tfs_i.sum())), occ_off
+            ).astype(np.int64)
         term_codes_row, term_uniques = pd.factorize(pdf["term"])
         # remap factorize codes to lexicographic ranks so output rows are
         # term-sorted → selective parquet row-group min/max stats for the
@@ -334,6 +398,8 @@ def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_sh
         # (two fewer O(entries) sort passes; this stage is bandwidth-bound)
         key = (tcodes * (n_shards + 1) + salts) * n_shards + shards
         order = np.lexsort((ids, key))
+        if positions:
+            pos_abs, occ_off = gather_groups(pos_abs, occ_off, order)
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         tcodes, shards = tcodes[order], shards[order]
         key = key[order]
@@ -359,18 +425,25 @@ def _merge_partition_fn(k1: float, b: float, avgdl: float, block_size: int, n_sh
         tf_buf, tf_off = varint_encode_groups(tfs.astype(np.uint64), offsets)
         ids_mv, tf_mv = memoryview(ids_buf), memoryview(tf_buf)
 
-        yield pd.DataFrame(
-            {
-                "term": term_by_code[tcodes[starts]],
-                "shard": shards[starts].astype(np.int32),
-                "df": group_n,
-                "doc_ids": [bytes(ids_mv[ids_off[i]: ids_off[i + 1]]) for i in range(len(starts))],
-                "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
-                "block_last": [blast[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
-                "block_max": [bmax[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
-                "avgdl_seg": np.full(len(starts), avgdl),
-            }
-        )
+        out = {
+            "term": term_by_code[tcodes[starts]],
+            "shard": shards[starts].astype(np.int32),
+            "df": group_n,
+            "doc_ids": [bytes(ids_mv[ids_off[i]: ids_off[i + 1]]) for i in range(len(starts))],
+            "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
+            "block_last": [blast[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
+            "block_max": [bmax[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
+            "avgdl_seg": np.full(len(starts), avgdl),
+        }
+        if positions:
+            pos_buf, pos_boff = delta_encode_groups(pos_abs.astype(np.uint64), occ_off)
+            pos_mv = memoryview(pos_buf)
+            ends = starts + group_n
+            out["pos"] = [
+                bytes(pos_mv[pos_boff[starts[i]]: pos_boff[ends[i]]])
+                for i in range(len(starts))
+            ]
+        yield pd.DataFrame(out)
 
     return run
 
@@ -536,8 +609,9 @@ def build_index(
             src = corpus.where(
                 F.array_contains(missing_arr, sql_shard_col(config.n_shards).cast("int"))
             )
+        pschema = _with_pos(PARTIAL_SCHEMA) if config.positions else PARTIAL_SCHEMA
         partials = src.mapInPandas(
-            _partials_fn(config.n_shards), schema=PARTIAL_SCHEMA
+            _partials_fn(config.n_shards, config.positions), schema=pschema
         ).persist()
         # materialize partials BEFORE the shuffle: fusing the Python stage
         # with the shuffle write oversubscribes memory at high local
@@ -547,11 +621,13 @@ def build_index(
         metrics["partials_sec"] = time.time() - t0
         t_merge = time.time()
         n_merge_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        oschema = _with_pos(POSTINGS_SCHEMA) if config.positions else POSTINGS_SCHEMA
         merged = partials.repartition(n_merge_parts, "term", "salt").mapInPandas(
             _merge_partition_fn(
-                config.k1, config.b, avgdl, config.block_size, config.n_shards
+                config.k1, config.b, avgdl, config.block_size, config.n_shards,
+                config.positions,
             ),
-            schema=POSTINGS_SCHEMA,
+            schema=oschema,
         )
         # Layout: one directory per shard (partitionBy) with dynamic
         # partition overwrite — a resume REPLACES exactly the shard dirs it
@@ -636,6 +712,7 @@ def build_index(
         "b": config.b,
         "n_shards": config.n_shards,
         "block_size": config.block_size,
+        "positions": config.positions,
         "config": fp,
         "metrics": metrics,
     }
@@ -725,6 +802,7 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
         k1=float(meta["k1"]),
         b=float(meta["b"]),
         block_size=int(meta["block_size"]),
+        positions=bool(meta.get("positions", False)),
     )
     fp = config.fingerprint()
     if fp != meta["config"]:
@@ -874,7 +952,10 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
     # never rescans of the whole postings dir (VERDICT r3 #3 — under
     # stream_append an O(index) stage per micro-batch caps index size).
     t0 = time.time()
-    partials = new_src.mapInPandas(_partials_fn(n_shards), schema=PARTIAL_SCHEMA).persist()
+    pschema = _with_pos(PARTIAL_SCHEMA) if config.positions else PARTIAL_SCHEMA
+    partials = new_src.mapInPandas(
+        _partials_fn(n_shards, config.positions), schema=pschema
+    ).persist()
     partials.count()  # barrier: python stage separate from the shuffle
     n_merge_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # localCheckpoint: the merged segments (O(new) rows) feed THREE jobs —
@@ -882,11 +963,13 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
     # delta — checkpointing runs the partials→merge pipeline once, and cuts
     # lineage over the postings path we are about to append to (the cache-
     # invalidation-on-write hazard)
+    oschema = _with_pos(POSTINGS_SCHEMA) if config.positions else POSTINGS_SCHEMA
     merged = (
         partials.repartition(n_merge_parts, "term", "salt")
         .mapInPandas(
-            _merge_partition_fn(config.k1, config.b, avgdl, config.block_size, n_shards),
-            schema=POSTINGS_SCHEMA,
+            _merge_partition_fn(config.k1, config.b, avgdl, config.block_size, n_shards,
+                                config.positions),
+            schema=oschema,
         )
         .localCheckpoint(eager=True)
     )

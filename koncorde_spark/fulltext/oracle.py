@@ -64,3 +64,42 @@ def bm25_oracle_topk(
     out = pd.DataFrame({"doc_id": doc_ids[hit], "score": scores[hit]})
     out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
     return out.head(k).reset_index(drop=True)
+
+
+def bm25_oracle_phrase(
+    corpus: pd.DataFrame, phrase: str, k: int, k1: float = 1.2, b: float = 0.75
+) -> pd.DataFrame:
+    """Pure-python twin of Bm25Index.topk_phrase / LocalSearcher.phrase:
+    exact consecutive-offset phrase tf, idf = sum of member-term idfs
+    (repeats counted per repetition), stats over the full corpus."""
+    from .tokenizer import tokenize_text as _tok
+
+    doc_ids = np.array(
+        [doc_id_of(r, p, c) for r, p, c in zip(corpus["repo"], corpus["path"], corpus["commit"])],
+        dtype=np.int64,
+    )
+    toks = [_tok(t) for t in corpus["content"]]
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    n_docs = len(corpus)
+    avgdl = dls.mean() if n_docs else 1.0
+
+    q = _tok(phrase)
+    if not q:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    dfs = {}
+    for term in set(q):
+        dfs[term] = sum(1 for t in toks if term in t)
+        if dfs[term] == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+    idf_sum = float(sum(bm25_idf(n_docs, dfs[t]) for t in q))
+
+    m = len(q)
+    ptf = np.array(
+        [sum(1 for i in range(len(t) - m + 1) if t[i : i + m] == q) for t in toks],
+        dtype=np.float64,
+    )
+    score = idf_sum * ptf * (k1 + 1.0) / (ptf + k1 * (1.0 - b + b * dls / avgdl))
+    hit = ptf > 0
+    out = pd.DataFrame({"doc_id": doc_ids[hit], "score": score[hit]})
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from .codecs import delta_decode, delta_encode, varint_decode
 from .indexer import read_meta
+from .phrase import decode_entry_positions, merge_term_segments, phrase_topk_shard
 from .tokenizer import tokenize_text
 from .wand import TermPostings, bm25_idf, topk_block_max_wand, topk_conjunctive
 
@@ -389,6 +390,80 @@ class Bm25Index:
         per_shard_topk = (
             relevant.groupBy("shard")
             .cogroup(packs.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
+        )
+        return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact-phrase top-k over a POSITIONAL index (IndexConfig(
+        positions=True)): docs containing the query token sequence at
+        consecutive offsets, scored by the classic phrase-query recipe
+        (the phrase as one pseudo-term: tf = phrase occurrences, idf =
+        sum of member-term idfs — see phrase.py).
+
+        Plan shape mirrors topk: postings pruned to the phrase's terms
+        (parquet term pushdown), one cogroup with the dlpack per shard,
+        vectorized adjacency chaining in the kernel, global sort-limit
+        over ≤ shards·k rows. A phrase term absent from the global
+        vocabulary short-circuits to empty without a job."""
+        if not self.meta.get("positions"):
+            raise RuntimeError(
+                "phrase search requires a positional index — build with "
+                "IndexConfig(positions=True)"
+            )
+        toks = tokenize_text(phrase)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        uniq = sorted(set(toks))
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b = meta["k1"], meta["b"]
+        dfs = self._df_for(uniq)
+        if len(dfs) < len(uniq):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # repeated phrase tokens contribute one idf term per repetition
+        idf_sum = float(sum(bm25_idf(n_docs, dfs[t]) for t in toks))
+
+        toks_b, uniq_b, k_ = list(toks), set(uniq), k
+        k1_, b_, avgdl_, idf_sum_ = k1, b, avgdl, idf_sum
+        tomb = self.tombstones
+        cctx = self._cache_ctx
+
+        def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64")})
+            if len(post_pdf) == 0 or len(pack_pdf) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for _, row in post_pdf.iterrows():
+                by_term.setdefault(row["term"], []).append(
+                    decode_entry_positions(
+                        bytes(row["doc_ids"]), bytes(row["tfs"]),
+                        bytes(row["pos"]), int(row["df"]),
+                    )
+                )
+            if len(by_term) < len(uniq_b):
+                return empty  # a phrase term missing from this shard
+            cache_key = None
+            if cctx is not None:
+                index_dir, lineages = cctx
+                shard = int(pack_pdf.iloc[0]["shard"])
+                if shard in lineages:
+                    cache_key = (index_dir, shard, lineages[shard])
+            dl_ids, dl_vals = _decode_dlpack(pack_pdf, cache_key)
+            merged = {t: merge_term_segments(v) for t, v in by_term.items()}
+            ids, scores = phrase_topk_shard(
+                [merged[t] for t in toks_b], idf_sum_, k1_, b_, avgdl_,
+                dl_ids, dl_vals, k_, tomb,
+            )
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        relevant = self.postings.where(F.col("term").isin(uniq)).select(
+            "term", "shard", "df", "doc_ids", "tfs", "pos"
+        )
+        per_shard_topk = (
+            relevant.groupBy("shard")
+            .cogroup(self.dlpack.groupBy("shard"))
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

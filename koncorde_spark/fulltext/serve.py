@@ -139,3 +139,66 @@ class LocalSearcher:
         scores = np.concatenate(cand_scores)
         order = np.lexsort((ids, -scores))[:k]
         return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]
+
+    def phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase top-k over a positional index — rank-identical to
+        Bm25Index.topk_phrase by the shared kernel (phrase.py)."""
+        if not self.meta.get("positions"):
+            raise RuntimeError(
+                "phrase search requires a positional index — build with "
+                "IndexConfig(positions=True)"
+            )
+        from .phrase import (
+            decode_entry_positions,
+            merge_term_segments,
+            phrase_topk_shard,
+        )
+
+        toks = tokenize_text(phrase)
+        if not toks:
+            return []
+        uniq = sorted(set(toks))
+        if any(t not in self._df for t in uniq):
+            return []
+        idf_sum = float(
+            sum(bm25_idf(self.meta["n_docs"], self._df[t]) for t in toks)
+        )
+        k1, b, avgdl = self.meta["k1"], self.meta["b"], self.meta["avgdl"]
+
+        tbl = self._postings.to_table(
+            filter=ds.field("term").isin(uniq),
+            columns=["term", "shard", "df", "doc_ids", "tfs", "pos"],
+        )
+        by_shard: dict[int, dict[str, list]] = {}
+        for i in range(tbl.num_rows):
+            shard = int(tbl["shard"][i].as_py())
+            by_shard.setdefault(shard, {}).setdefault(
+                tbl["term"][i].as_py(), []
+            ).append(
+                decode_entry_positions(
+                    bytes(tbl["doc_ids"][i].as_py()),
+                    bytes(tbl["tfs"][i].as_py()),
+                    bytes(tbl["pos"][i].as_py()),
+                    int(tbl["df"][i].as_py()),
+                )
+            )
+
+        cand_ids: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        for shard, by_term in by_shard.items():
+            if len(by_term) < len(uniq):
+                continue
+            merged = {t: merge_term_segments(v) for t, v in by_term.items()}
+            dl_ids, dl_vals = self._dl[shard]
+            ids, scores = phrase_topk_shard(
+                [merged[t] for t in toks], idf_sum, k1, b, avgdl,
+                dl_ids, dl_vals, k, self._tombstones,
+            )
+            cand_ids.append(ids)
+            cand_scores.append(scores)
+        if not cand_ids:
+            return []
+        ids = np.concatenate(cand_ids)
+        scores = np.concatenate(cand_scores)
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]

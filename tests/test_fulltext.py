@@ -1009,3 +1009,176 @@ class TestTopkConjunctive:
         idx = Bm25Index(spark, bm25_index_dir)
         with pytest.raises(ValueError):
             idx.topk("import", 5, mode="phrase-ish")
+
+
+@pytest.fixture(scope="session")
+def bm25_pos_index_dir(spark, small_corpus_pdf, tmp_path_factory):
+    """Positional twin of bm25_index_dir (same corpus, positions=True)."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+
+    out = str(tmp_path_factory.mktemp("bm25posidx"))
+    corpus = spark.createDataFrame(small_corpus_pdf).repartition(4)
+    build_index(spark, corpus, out, IndexConfig(n_shards=4, positions=True))
+    return out
+
+
+class TestPhraseSearch:
+    """Positional index + exact-phrase top-k (topk_phrase / serve.phrase):
+    adjacency at consecutive token offsets, classic phrase-query scoring,
+    verified against the pure-python oracle and the DuckDB list-lambda SQL."""
+
+    def _phrases(self, pdf):
+        from koncorde_spark.fulltext.tokenizer import tokenize_text
+
+        t0 = tokenize_text(pdf["content"].iloc[0])
+        t7 = tokenize_text(pdf["content"].iloc[7])
+        return [" ".join(t0[3:5]), " ".join(t7[10:13]), "import"]
+
+    def test_matches_python_oracle(self, spark, small_corpus_pdf, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.oracle import bm25_oracle_phrase
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        for ph in self._phrases(small_corpus_pdf):
+            got = idx.topk_phrase(ph, 12).toPandas()
+            exp = bm25_oracle_phrase(small_corpus_pdf, ph, 12)
+            assert list(got["doc_id"]) == list(exp["doc_id"]), ph
+            assert np.allclose(got["score"], exp["score"], atol=1e-9), ph
+
+    def test_single_token_phrase_equals_topk(self, spark, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        ph = idx.topk_phrase("import", 10).toPandas()
+        tk = idx.topk("import", 10).toPandas()
+        assert list(ph["doc_id"]) == list(tk["doc_id"])
+        assert np.allclose(ph["score"], tk["score"], atol=0)
+
+    def test_serve_parity(self, spark, small_corpus_pdf, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        searcher = LocalSearcher(bm25_pos_index_dir)
+        for ph in self._phrases(small_corpus_pdf):
+            dist = [
+                (int(r.doc_id), round(float(r.score), 12))
+                for r in idx.topk_phrase(ph, 10).toPandas().itertuples()
+            ]
+            local = [(d, round(s, 12)) for d, s in searcher.phrase(ph, 10)]
+            assert dist == local, ph
+
+    def test_non_positional_index_raises(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        with pytest.raises(RuntimeError, match="positional"):
+            idx.topk_phrase("import return", 5)
+        with pytest.raises(RuntimeError, match="positional"):
+            LocalSearcher(bm25_index_dir).phrase("import return", 5)
+
+    def test_absent_term_and_empty_phrase(self, spark, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        assert idx.topk_phrase("import zzz_nope", 5).count() == 0
+        assert idx.topk_phrase("", 5).count() == 0
+        assert LocalSearcher(bm25_pos_index_dir).phrase("import zzz_nope", 5) == []
+
+    def test_overlapping_repeated_tokens(self, spark, tmp_path):
+        """'a a' in 'a a a' must count 2 (overlapping starts); repeated
+        phrase tokens contribute idf once per repetition."""
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+        from koncorde_spark.fulltext.oracle import bm25_oracle_phrase
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        rows = [
+            ("r", f"p{i}", "c", "text/x", content)
+            for i, content in enumerate(
+                [
+                    "alpha alpha alpha beta",
+                    "alpha alpha beta gamma",
+                    "alpha beta alpha beta",
+                    "beta alpha alpha alpha alpha",
+                    "gamma delta epsilon",
+                ]
+            )
+        ]
+        pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+        out = str(tmp_path / "repidx")
+        build_index(
+            spark, spark.createDataFrame(pdf), out,
+            IndexConfig(n_shards=2, positions=True),
+        )
+        idx = Bm25Index(spark, out)
+        for ph in ("alpha alpha", "alpha alpha alpha", "alpha beta"):
+            got = idx.topk_phrase(ph, 5).toPandas()
+            exp = bm25_oracle_phrase(pdf, ph, 5)
+            assert list(got["doc_id"]) == list(exp["doc_id"]), ph
+            assert np.allclose(got["score"], exp["score"], atol=1e-12), ph
+
+    def test_append_preserves_phrase_parity(self, spark, small_corpus_pdf, tmp_path):
+        """Appending to a positional index == rebuilding over the union
+        (phrase results identical) — positions ride the append pipeline."""
+        from koncorde_spark.fulltext.indexer import IndexConfig, append_index, build_index
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        cfg = IndexConfig(n_shards=2, positions=True)
+        a, b = str(tmp_path / "appended"), str(tmp_path / "rebuilt")
+        first = small_corpus_pdf.iloc[:200]
+        build_index(spark, spark.createDataFrame(first), a, cfg)
+        append_index(spark, spark.createDataFrame(small_corpus_pdf.iloc[200:]), a)
+        build_index(spark, spark.createDataFrame(small_corpus_pdf), b, cfg)
+        ia, ib = Bm25Index(spark, a), Bm25Index(spark, b)
+        from koncorde_spark.fulltext.tokenizer import tokenize_text
+
+        t5 = tokenize_text(small_corpus_pdf["content"].iloc[250])
+        for ph in (" ".join(t5[0:2]), "import"):
+            ga = ia.topk_phrase(ph, 10).toPandas()
+            gb = ib.topk_phrase(ph, 10).toPandas()
+            assert list(ga["doc_id"]) == list(gb["doc_id"]), ph
+            assert np.allclose(ga["score"], gb["score"], atol=1e-12), ph
+
+    def test_tombstones_drop_phrase_hits(self, spark, small_corpus_pdf, tmp_path):
+        """Deletions exclude docs from phrase results without changing the
+        scores of survivors (frozen corpus statistics)."""
+        from koncorde_spark.fulltext.indexer import (
+            IndexConfig, build_index, delete_docs,
+        )
+        from koncorde_spark.fulltext.oracle import bm25_oracle_phrase
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        out = str(tmp_path / "tombphrase")
+        build_index(
+            spark, spark.createDataFrame(small_corpus_pdf), out,
+            IndexConfig(n_shards=2, positions=True),
+        )
+        idx = Bm25Index(spark, out)
+        from koncorde_spark.fulltext.tokenizer import tokenize_text
+
+        ph = " ".join(tokenize_text(small_corpus_pdf["content"].iloc[0])[3:5])
+        first = idx.topk_phrase(ph, 1).toPandas()
+        assert len(first) == 1
+        victim = int(first["doc_id"].iloc[0])
+        delete_docs(spark, out, [victim])
+        idx2 = Bm25Index(spark, out)
+        got = idx2.topk_phrase(ph, 10).toPandas()
+        exp = bm25_oracle_phrase(small_corpus_pdf, ph, 11)
+        exp = exp[exp["doc_id"] != victim].head(10)
+        assert victim not in set(got["doc_id"])
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert np.allclose(got["score"], exp["score"], atol=1e-9)
+
+    def test_positional_and_plain_topk_agree(self, spark, bm25_index_dir, bm25_pos_index_dir):
+        """The sort-based positional tf aggregation must produce the same
+        postings as the hash aggregation: identical topk over both."""
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        ia, ib = Bm25Index(spark, bm25_index_dir), Bm25Index(spark, bm25_pos_index_dir)
+        for q in ("import return def", "ident_00042 import"):
+            ga = ia.topk(q, 15).toPandas()
+            gb = ib.topk(q, 15).toPandas()
+            assert list(ga["doc_id"]) == list(gb["doc_id"]), q
+            assert np.allclose(ga["score"], gb["score"], atol=0), q
