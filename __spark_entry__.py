@@ -335,6 +335,35 @@ def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+BM25_NEAR_PHRASE = "sort merge join"
+BM25_NEAR_SLOP = 4
+
+
+def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity search (slop=4) over the same positional index
+    as bm25_phrase: docs where the three tokens appear in phrase order
+    within len-1+slop offsets, counted by the greedy-chain rule
+    (phrase.proximity_freqs) and scored like a phrase pseudo-term.
+    Oracle: bm25_phrase_sql(slop=4) — nested list_min/list_filter
+    lambdas transcribe the same greedy chain in SQL."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir) + "_pos"
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(
+        spark, corpus, idx_dir, IndexConfig(n_shards=8, positions=True), resume=True
+    )
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_phrase(BM25_NEAR_PHRASE, BM25_K, slop=BM25_NEAR_SLOP)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _q_bm25_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND-semantics) top-k: only docs containing EVERY query
     term qualify; scores are mode-independent (identical to the "any"
@@ -619,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_near": _q_bm25_near,
         "bm25_topk_filtered": _q_bm25_topk_filtered,
         "bm25_topk_many": _q_bm25_topk_many,
         "dedup_exact": _q_dedup_exact,
@@ -675,6 +705,10 @@ def oracle_sql() -> dict[str, str]:
     bm25_phrase = bm25_phrase_sql(
         "documents", BM25_PHRASE.split(), BM25_K, tie_sql=internal_id
     )
+    bm25_near = bm25_phrase_sql(
+        "documents", BM25_NEAR_PHRASE.split(), BM25_K, tie_sql=internal_id,
+        slop=BM25_NEAR_SLOP,
+    )
     bm25_all = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id,
         conjunctive=True,
@@ -724,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_indexed,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
+        "bm25_near": bm25_near,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_many": bm25_many,
         "dedup_exact": dedup.exact_groups_sql("documents"),

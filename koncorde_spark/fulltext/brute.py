@@ -163,15 +163,22 @@ def bm25_phrase_sql(
     k1: float = 1.2,
     b: float = 0.75,
     tie_sql: str | None = None,
+    slop: int = 0,
 ) -> str:
     """DuckDB twin of Bm25Index.topk_phrase / LocalSearcher.phrase.
 
     ``phrase_terms`` is the ORDERED token sequence (repeats allowed).
-    Phrase occurrences are exact consecutive offsets in the canonical
-    token stream, counted with a list lambda over 1-based DuckDB list
-    indexing; idf is the sum of member-term idfs with repeated tokens
-    contributing once per repetition (the qmult VALUES list), matching
-    the phrase.py kernel's classic phrase-query scoring."""
+    With ``slop=0`` phrase occurrences are exact consecutive offsets in
+    the canonical token stream, counted with a list lambda over 1-based
+    DuckDB list indexing. With ``slop>0`` the occurrences follow the
+    kernel's ordered greedy-chain proximity rule: from each position of
+    the first token, each later token resolves to its smallest
+    strictly-greater position (nested list_min/list_filter lambdas —
+    the literal transcription of phrase.proximity_freqs), and the start
+    counts iff the final span minus (m-1) is within slop. idf is the
+    sum of member-term idfs with repeated tokens contributing once per
+    repetition (the qmult VALUES list), matching the phrase.py kernel's
+    classic phrase-query scoring."""
     from collections import Counter
 
     def q(t: str) -> str:
@@ -183,9 +190,29 @@ def bm25_phrase_sql(
     mults = ", ".join(
         f"({q(t)}, {c})" for t, c in sorted(Counter(phrase_terms).items())
     )
-    adj = " AND ".join(
-        f"toks[i + {j}] = {q(t)}" for j, t in enumerate(phrase_terms)
-    )
+    if slop > 0:
+        poscol = {t: f"p{u}" for u, t in enumerate(uniq)}
+        pos_proj = "".join(
+            f",\n             list_filter(range(1, len(toks) + 1), "
+            f"i -> toks[i] = {q(t)}) AS {poscol[t]}"
+            for t in uniq
+        )
+        pos_carry = "".join(f", {poscol[t]}" for t in uniq)
+        chain = "s0"
+        for j, t in enumerate(phrase_terms[1:], start=1):
+            chain = (
+                f"list_min(list_filter({poscol[t]}, v{j} -> v{j} > {chain}))"
+            )
+        ptf_expr = (
+            f"len(list_filter({poscol[phrase_terms[0]]}, s0 -> "
+            f"{chain} IS NOT NULL AND {chain} - s0 <= {m - 1 + slop}))"
+        )
+    else:
+        pos_proj = pos_carry = ""
+        adj = " AND ".join(
+            f"toks[i + {j}] = {q(t)}" for j, t in enumerate(phrase_terms)
+        )
+        ptf_expr = f"len(list_filter(range(1, len(toks) - {m} + 2), i -> {adj}))"
     tie = "__tie" if tie_sql else id_col
     tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
     tie_carry = ", __tie" if tie_sql else ""
@@ -196,7 +223,8 @@ def bm25_phrase_sql(
              list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
                          t -> t <> '') AS toks
       FROM {table}
-    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks{pos_carry}, len(toks) AS dl
+              FROM (SELECT {id_col}{tie_carry}, toks{pos_proj} FROM d2)),
     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
     tf AS (
       SELECT {id_col}, term
@@ -211,8 +239,7 @@ def bm25_phrase_sql(
       FROM qmult JOIN dfreq USING(term) CROSS JOIN stats
     ),
     ph AS (
-      SELECT {id_col}{tie_carry}, dl,
-             len(list_filter(range(1, len(toks) - {m} + 2), i -> {adj})) AS ptf
+      SELECT {id_col}{tie_carry}, dl, {ptf_expr} AS ptf
       FROM d3
     ),
     scored AS (

@@ -67,11 +67,19 @@ def bm25_oracle_topk(
 
 
 def bm25_oracle_phrase(
-    corpus: pd.DataFrame, phrase: str, k: int, k1: float = 1.2, b: float = 0.75
+    corpus: pd.DataFrame,
+    phrase: str,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """Pure-python twin of Bm25Index.topk_phrase / LocalSearcher.phrase:
-    exact consecutive-offset phrase tf, idf = sum of member-term idfs
-    (repeats counted per repetition), stats over the full corpus."""
+    exact consecutive-offset phrase tf (or, with ``slop>0``, the ordered
+    greedy-chain proximity count — each later token to its smallest
+    strictly-greater position, span-thresholded), idf = sum of
+    member-term idfs (repeats counted per repetition), stats over the
+    full corpus."""
     from .tokenizer import tokenize_text as _tok
 
     doc_ids = np.array(
@@ -94,10 +102,30 @@ def bm25_oracle_phrase(
     idf_sum = float(sum(bm25_idf(n_docs, dfs[t]) for t in q))
 
     m = len(q)
-    ptf = np.array(
-        [sum(1 for i in range(len(t) - m + 1) if t[i : i + m] == q) for t in toks],
-        dtype=np.float64,
-    )
+    if slop > 0:
+
+        def _near_count(t: list[str]) -> int:
+            cnt = 0
+            for p0 in (i for i, x in enumerate(t) if x == q[0]):
+                cur, ok = p0, True
+                for term in q[1:]:
+                    nxt = next(
+                        (i for i in range(cur + 1, len(t)) if t[i] == term), None
+                    )
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - p0 - (m - 1) <= slop:
+                    cnt += 1
+            return cnt
+
+        ptf = np.array([_near_count(t) for t in toks], dtype=np.float64)
+    else:
+        ptf = np.array(
+            [sum(1 for i in range(len(t) - m + 1) if t[i : i + m] == q) for t in toks],
+            dtype=np.float64,
+        )
     score = idf_sum * ptf * (k1 + 1.0) / (ptf + k1 * (1.0 - b + b * dls / avgdl))
     hit = ptf > 0
     out = pd.DataFrame({"doc_id": doc_ids[hit], "score": score[hit]})

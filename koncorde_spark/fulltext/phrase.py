@@ -1,15 +1,22 @@
-"""Exact-phrase matching + scoring kernel (numpy, per shard).
+"""Exact-phrase + proximity matching/scoring kernel (numpy, per shard).
 
 Shared by the distributed query tier (``Bm25Index.topk_phrase``) and the
 Spark-free serve tier (``LocalSearcher.phrase``) so the two answer
 rank-identically by construction — the same discipline as the WAND kernel.
 
 Semantics: a phrase occurrence is the exact query token sequence at
-consecutive token offsets (slop 0). Scoring follows the classic phrase-
-query recipe (Lucene PhraseQuery): the phrase behaves as one pseudo-term
-whose tf is the number of phrase occurrences and whose idf is the SUM of
-the member terms' idfs (repeated phrase tokens contribute once per
-repetition):
+consecutive token offsets (slop 0). With ``slop > 0`` the kernel runs an
+ordered GREEDY-CHAIN proximity match instead: from each occurrence p0 of
+the first token, every later phrase token chains to its smallest
+strictly-greater position in the same document, and the start matches iff
+the final span ``p_last - p0 - (m-1)`` is at most ``slop`` (tokens in
+phrase order, gaps allowed, no reordering). The greedy chain yields the
+minimal span for each start, so slop=0 coincides exactly with the
+adjacency kernel (fuzz-pinned in tests). Scoring follows the classic
+phrase-query recipe (Lucene PhraseQuery): the phrase behaves as one
+pseudo-term whose tf is the number of (exact or in-slop) occurrences and
+whose idf is the SUM of the member terms' idfs (repeated phrase tokens
+contribute once per repetition):
 
     score = (Σ_t idf_t) * ptf*(k1+1) / (ptf + k1*(1 - b + b*dl/avgdl))
 
@@ -90,6 +97,23 @@ def _pair_keys(t: TermOccurrences, cand: np.ndarray) -> np.ndarray:
     return (np.repeat(ords, lens) << np.uint64(32)) | pos
 
 
+def _candidate_docs(
+    per_token: list[TermOccurrences],
+    tombstones: np.ndarray | None,
+) -> np.ndarray:
+    """Sorted doc_ids containing EVERY phrase token (tombstones removed)."""
+    cand = per_token[0].doc_ids
+    for t in per_token[1:]:
+        if len(cand) == 0:
+            return cand
+        pos = np.searchsorted(t.doc_ids, cand)
+        cand = cand[t.doc_ids[np.minimum(pos, len(t.doc_ids) - 1)] == cand]
+    if tombstones is not None and len(tombstones) and len(cand):
+        p = np.searchsorted(tombstones, cand)
+        cand = cand[tombstones[np.minimum(p, len(tombstones) - 1)] != cand]
+    return cand
+
+
 def phrase_freqs(
     per_token: list[TermOccurrences],
     tombstones: np.ndarray | None = None,
@@ -102,15 +126,7 @@ def phrase_freqs(
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     if not per_token or any(len(t.doc_ids) == 0 for t in per_token):
         return empty
-    cand = per_token[0].doc_ids
-    for t in per_token[1:]:
-        if len(cand) == 0:
-            return empty
-        pos = np.searchsorted(t.doc_ids, cand)
-        cand = cand[t.doc_ids[np.minimum(pos, len(t.doc_ids) - 1)] == cand]
-    if tombstones is not None and len(tombstones) and len(cand):
-        p = np.searchsorted(tombstones, cand)
-        cand = cand[tombstones[np.minimum(p, len(tombstones) - 1)] != cand]
+    cand = _candidate_docs(per_token, tombstones)
     if len(cand) == 0:
         return empty
     start = _pair_keys(per_token[0], cand)
@@ -130,6 +146,50 @@ def phrase_freqs(
     return cand[hit], ptf[hit].astype(np.int64)
 
 
+def proximity_freqs(
+    per_token: list[TermOccurrences],
+    slop: int,
+    tombstones: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(matching doc_ids, in-slop occurrence count per doc): ordered
+    greedy-chain proximity (see module docstring). Each occurrence of the
+    first token chains each later token to its SMALLEST strictly-greater
+    position in the same doc (one searchsorted per token — the chain is
+    span-minimal, so thresholding it decides slop exactly)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if not per_token or any(len(t.doc_ids) == 0 for t in per_token):
+        return empty
+    cand = _candidate_docs(per_token, tombstones)
+    if len(cand) == 0:
+        return empty
+    start = _pair_keys(per_token[0], cand)
+    if len(start) == 0:
+        return empty
+    cur = start
+    valid = np.ones(len(start), dtype=bool)
+    for t in per_token[1:]:
+        keys = _pair_keys(t, cand)
+        if len(keys) == 0:
+            return empty
+        idx = np.searchsorted(keys, cur + np.uint64(1))
+        ok = idx < len(keys)
+        nxt = keys[np.minimum(idx, len(keys) - 1)]
+        ok &= (nxt >> np.uint64(32)) == (cur >> np.uint64(32))
+        valid &= ok
+        cur = np.where(ok, nxt, cur)
+        if not valid.any():
+            return empty
+    mask32 = np.uint64(0xFFFFFFFF)
+    span = (cur & mask32).astype(np.int64) - (start & mask32).astype(np.int64)
+    match = valid & (span - (len(per_token) - 1) <= slop)
+    if not match.any():
+        return empty
+    ords = (start[match] >> np.uint64(32)).astype(np.int64)
+    ptf = np.bincount(ords, minlength=len(cand))
+    hit = ptf > 0
+    return cand[hit], ptf[hit].astype(np.int64)
+
+
 def phrase_topk_shard(
     per_token: list[TermOccurrences],
     idf_sum: float,
@@ -140,10 +200,15 @@ def phrase_topk_shard(
     dl_vals: np.ndarray,
     k: int,
     tombstones: np.ndarray | None = None,
+    slop: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) for one shard; ties break by ascending
-    doc_id (same rank rule as the WAND kernel)."""
-    cand, ptf = phrase_freqs(per_token, tombstones)
+    doc_id (same rank rule as the WAND kernel). ``slop=0`` runs the exact
+    adjacency kernel; ``slop>0`` the greedy-chain proximity kernel."""
+    if slop > 0:
+        cand, ptf = proximity_freqs(per_token, slop, tombstones)
+    else:
+        cand, ptf = phrase_freqs(per_token, tombstones)
     if len(cand) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     dls = dl_vals[np.searchsorted(dl_ids, cand)]

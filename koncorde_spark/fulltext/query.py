@@ -394,12 +394,15 @@ class Bm25Index:
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def topk_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+    def topk_phrase(self, phrase: str, k: int = 10, slop: int = 0) -> DataFrame:
         """Exact-phrase top-k over a POSITIONAL index (IndexConfig(
         positions=True)): docs containing the query token sequence at
         consecutive offsets, scored by the classic phrase-query recipe
         (the phrase as one pseudo-term: tf = phrase occurrences, idf =
-        sum of member-term idfs — see phrase.py).
+        sum of member-term idfs — see phrase.py). ``slop > 0`` switches
+        to ordered greedy-chain proximity (tokens in phrase order within
+        ``len-1+slop`` offsets — phrase.proximity_freqs), same scoring
+        with in-slop occurrence count as tf.
 
         Plan shape mirrors topk: postings pruned to the phrase's terms
         (parquet term pushdown), one cogroup with the dlpack per shard,
@@ -424,7 +427,7 @@ class Bm25Index:
         # repeated phrase tokens contribute one idf term per repetition
         idf_sum = float(sum(bm25_idf(n_docs, dfs[t]) for t in toks))
 
-        toks_b, uniq_b, k_ = list(toks), set(uniq), k
+        toks_b, uniq_b, k_, slop_ = list(toks), set(uniq), k, slop
         k1_, b_, avgdl_, idf_sum_ = k1, b, avgdl, idf_sum
         tomb = self.tombstones
         cctx = self._cache_ctx
@@ -454,7 +457,7 @@ class Bm25Index:
             merged = {t: merge_term_segments(v) for t, v in by_term.items()}
             ids, scores = phrase_topk_shard(
                 [merged[t] for t in toks_b], idf_sum_, k1_, b_, avgdl_,
-                dl_ids, dl_vals, k_, tomb,
+                dl_ids, dl_vals, k_, tomb, slop=slop_,
             )
             return pd.DataFrame({"doc_id": ids, "score": scores})
 

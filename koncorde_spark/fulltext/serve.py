@@ -140,8 +140,11 @@ class LocalSearcher:
         order = np.lexsort((ids, -scores))[:k]
         return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]
 
-    def phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact-phrase top-k over a positional index — rank-identical to
+    def phrase(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Exact-phrase (or, with ``slop > 0``, greedy-chain proximity)
+        top-k over a positional index — rank-identical to
         Bm25Index.topk_phrase by the shared kernel (phrase.py)."""
         if not self.meta.get("positions"):
             raise RuntimeError(
@@ -192,7 +195,7 @@ class LocalSearcher:
             dl_ids, dl_vals = self._dl[shard]
             ids, scores = phrase_topk_shard(
                 [merged[t] for t in toks], idf_sum, k1, b, avgdl,
-                dl_ids, dl_vals, k, self._tombstones,
+                dl_ids, dl_vals, k, self._tombstones, slop=slop,
             )
             cand_ids.append(ids)
             cand_scores.append(scores)

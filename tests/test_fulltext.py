@@ -1182,3 +1182,152 @@ class TestPhraseSearch:
             gb = ib.topk(q, 15).toPandas()
             assert list(ga["doc_id"]) == list(gb["doc_id"]), q
             assert np.allclose(ga["score"], gb["score"], atol=0), q
+
+
+class TestProximitySearch:
+    """slop>0 greedy-chain proximity (topk_phrase(slop=), serve.phrase(slop=),
+    bm25_phrase_sql(slop=)): ordered tokens within len-1+slop offsets, each
+    later token chained to its smallest strictly-greater position."""
+
+    def _occ(self, docs, term):
+        from koncorde_spark.fulltext.phrase import TermOccurrences
+
+        ids, off, pos = [], [0], []
+        for d, toks in sorted(docs.items()):
+            p = [i for i, t in enumerate(toks) if t == term]
+            if p:
+                ids.append(d)
+                pos.extend(p)
+                off.append(off[-1] + len(p))
+        return TermOccurrences(
+            np.array(ids, np.int64), np.array(off, np.int64), np.array(pos, np.int64)
+        )
+
+    @staticmethod
+    def _brute(docs, phrase, slop):
+        m = len(phrase)
+        out = {}
+        for d, toks in docs.items():
+            cnt = 0
+            for p0 in (i for i, t in enumerate(toks) if t == phrase[0]):
+                cur, ok = p0, True
+                for t in phrase[1:]:
+                    nxt = next(
+                        (i for i in range(cur + 1, len(toks)) if toks[i] == t), None
+                    )
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - p0 - (m - 1) <= slop:
+                    cnt += 1
+            if cnt:
+                out[d] = cnt
+        return out
+
+    def test_kernel_fuzz_vs_brute_and_exact(self):
+        """300 random corpora: greedy-chain kernel == per-doc python brute;
+        slop=0 == the exact-adjacency kernel (span-minimality argument)."""
+        import random
+
+        from koncorde_spark.fulltext.phrase import phrase_freqs, proximity_freqs
+
+        rng = random.Random(7)
+        vocab = list("abcde")
+        for _ in range(300):
+            docs = {
+                i: [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+                for i in range(rng.randint(1, 8))
+            }
+            phrase = [rng.choice(vocab) for _ in range(rng.randint(2, 4))]
+            slop = rng.randint(0, 4)
+            per = [self._occ(docs, t) for t in phrase]
+            if any(len(t.doc_ids) == 0 for t in per):
+                continue
+            ids, ptf = proximity_freqs(per, slop)
+            assert dict(zip(ids.tolist(), ptf.tolist())) == self._brute(
+                docs, phrase, slop
+            ), (phrase, slop, docs)
+            i0, p0 = proximity_freqs(per, 0)
+            i1, p1 = phrase_freqs(per)
+            assert i0.tolist() == i1.tolist() and p0.tolist() == p1.tolist(), phrase
+
+    def test_matches_python_oracle(self, spark, small_corpus_pdf, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.oracle import bm25_oracle_phrase
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        t0 = tokenize_text(small_corpus_pdf["content"].iloc[0])
+        cases = [
+            (" ".join([t0[3], t0[6]]), 2),   # gap of 2 inside doc 0
+            ("import return", 3),
+            ("def import", 8),
+        ]
+        for ph, slop in cases:
+            got = idx.topk_phrase(ph, 12, slop=slop).toPandas()
+            exp = bm25_oracle_phrase(small_corpus_pdf, ph, 12, slop=slop)
+            assert list(got["doc_id"]) == list(exp["doc_id"]), (ph, slop)
+            assert np.allclose(got["score"], exp["score"], atol=1e-9), (ph, slop)
+
+    def test_slop_zero_is_exact_phrase(self, spark, small_corpus_pdf, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        t7 = tokenize_text(small_corpus_pdf["content"].iloc[7])
+        ph = " ".join(t7[10:13])
+        a = idx.topk_phrase(ph, 15).toPandas()
+        b = idx.topk_phrase(ph, 15, slop=0).toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"], atol=0)
+
+    def test_match_set_monotone_in_slop(self, spark, small_corpus_pdf, bm25_pos_index_dir):
+        """Growing slop can only add matching docs (same phrase, huge k)."""
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        prev = None
+        for slop in (0, 2, 6):
+            ids = set(
+                idx.topk_phrase("import return", 10_000, slop=slop)
+                .toPandas()["doc_id"]
+            )
+            if prev is not None:
+                assert prev <= ids, slop
+            prev = ids
+
+    def test_serve_parity(self, spark, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        searcher = LocalSearcher(bm25_pos_index_dir)
+        for ph, slop in (("import return", 3), ("def import", 8)):
+            dist = [
+                (int(r.doc_id), round(float(r.score), 12))
+                for r in idx.topk_phrase(ph, 10, slop=slop).toPandas().itertuples()
+            ]
+            local = [(d, round(s, 12)) for d, s in searcher.phrase(ph, 10, slop=slop)]
+            assert dist == local, (ph, slop)
+
+    def test_sql_twin_matches_python_brute(self):
+        """bm25_phrase_sql(slop=) over random whitespace corpora in DuckDB:
+        the nested list-lambda chain reproduces the greedy brute counts."""
+        import random
+
+        import duckdb
+
+        from koncorde_spark.fulltext.brute import bm25_phrase_sql
+
+        rng = random.Random(11)
+        vocab = list("abcd")
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(50)
+        ]
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        docs = {i: txt.split() for i, txt in rows}
+        for phrase, slop in ((["a", "b"], 1), (["a", "b", "c"], 2), (["b", "a"], 5)):
+            sql = bm25_phrase_sql("t", phrase, k=100, slop=slop)
+            got = set(con.execute(sql).fetchdf()["doc_id"])
+            assert got == set(self._brute(docs, phrase, slop)), (phrase, slop)
