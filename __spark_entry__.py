@@ -364,6 +364,40 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-then-compact lifecycle end-to-end: build a fresh index,
+    tombstone every doc with external id % 7 == 3, compact_index (drops
+    the tombstoned entries, merges segments, shrinks N/avgdl/df to the
+    survivors — no corpus access), then run the standard top-k. Oracle:
+    brute BM25 over the documents table WITH the same rows excluded —
+    compaction must be indistinguishable from never having indexed them."""
+    from koncorde_spark.fulltext.indexer import (
+        IndexConfig,
+        build_index,
+        compact_index,
+        delete_docs,
+    )
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir) + "_cmp"
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=False)
+    idx = Bm25Index(spark, idx_dir)
+    doomed = idx.docs.where(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long") % 7 == 3
+    ).select("doc_id")
+    delete_docs(spark, idx_dir, doomed)
+    compact_index(spark, idx_dir)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk(" ".join(BM25_QUERY_TERMS), BM25_K)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _q_bm25_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND-semantics) top-k: only docs containing EVERY query
     term qualify; scores are mode-independent (identical to the "any"
@@ -646,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_special": _q_perc_special,
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
+        "bm25_compacted": _q_bm25_compacted,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -696,6 +731,14 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
+    # compaction oracle: the same brute scan over the documents table with
+    # the tombstoned-then-compacted rows excluded at the source
+    bm25_compacted = bm25_brute_sql(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 3) AS documents",
+        BM25_QUERY_TERMS,
+        BM25_K,
+        tie_sql=internal_id,
     )
     # BM25_FILTER re-derived over the raw documents table: lang is carried
     # through corpus_from_documents verbatim; dl (index token count) equals
@@ -756,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_brute": bm25,
         "bm25_topk": bm25_indexed,
+        "bm25_compacted": bm25_compacted,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

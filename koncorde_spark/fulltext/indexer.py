@@ -1112,10 +1112,393 @@ def read_tombstones(spark: SparkSession, out_dir: str) -> np.ndarray:
         warnings.warn(
             f"index at {out_dir} carries {len(tombs)} tombstones"
             + (f" ({len(tombs) / n_docs:.0%} of {n_docs} docs)" if n_docs else "")
-            + " — every query filters and ships the full set; rebuild the "
-            "index from the corrected corpus (build_index(..., resume=False)) "
-            "to compact",
+            + " — every query filters and ships the full set; run "
+            "compact_index(spark, out_dir) (no corpus needed) or rebuild "
+            "with build_index(..., resume=False)",
             RuntimeWarning,
             stacklevel=2,
         )
     return tombs
+
+
+# ---------------------------------------------------------------------------
+# compaction (apply tombstones + merge segments, no corpus needed)
+# ---------------------------------------------------------------------------
+
+# Executor-side dlpack decode cache for compaction tasks: one decode per
+# worker per (path, shard, lineage) — same discipline as the query tier's
+# _DLPACK_CACHE (query.py) and the serve tier's self._dl.
+_DLPACK_PATH_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+_DLPACK_PATH_CACHE_MAX = 64
+
+
+def _load_dlpack_from_path(
+    dlpack_path: str, shard: int, lineage: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one shard's (doc_ids, dls) straight from the dlpack parquet.
+
+    Runs on executors (plain pyarrow, no Spark), so the index dir must be
+    reachable from worker processes — local/POSIX paths here, a mounted or
+    fsspec-readable store on a cluster (the same constraint the Spark-free
+    serve tier already imposes)."""
+    key = (dlpack_path, shard, lineage)
+    hit = _DLPACK_PATH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as ds
+
+    local = dlpack_path[len("file://"):] if dlpack_path.startswith("file://") else dlpack_path
+    tbl = ds.dataset(local, format="parquet").to_table(
+        filter=ds.field("shard") == shard
+    )
+    if tbl.num_rows != 1:
+        raise RuntimeError(
+            f"dlpack at {dlpack_path} holds {tbl.num_rows} rows for shard "
+            f"{shard} (expected exactly 1)"
+        )
+    n = int(tbl["n"][0].as_py())
+    out = (
+        delta_decode(bytes(tbl["doc_ids"][0].as_py()), n).astype(np.int64),
+        varint_decode(bytes(tbl["dls"][0].as_py()), n).astype(np.float64),
+    )
+    if len(_DLPACK_PATH_CACHE) >= _DLPACK_PATH_CACHE_MAX:
+        _DLPACK_PATH_CACHE.pop(next(iter(_DLPACK_PATH_CACHE)))
+    _DLPACK_PATH_CACHE[key] = out
+    return out
+
+
+def _compact_group_fn(dlpack_path: str, lineages: dict[int, int], tombs: np.ndarray,
+                      k1: float, b: float, avgdl: float, block_size: int,
+                      positions: bool):
+    """applyInPandas body for one (shard, term-bucket) group: decode every
+    segment row, drop tombstoned entries, merge segments per term, and
+    re-encode ONE segment per term with fresh block-max bounds at the
+    post-compaction avgdl — the same vectorized shape as the build's
+    _merge_partition_fn (lexsort + reduceat + group codecs)."""
+
+    def run(key, pdf):
+        cols = {
+            "term": pd.Series(dtype=object),
+            "shard": pd.Series(dtype="int32"),
+            "df": pd.Series(dtype="int64"),
+            "doc_ids": pd.Series(dtype=object),
+            "tfs": pd.Series(dtype=object),
+            "block_last": pd.Series(dtype=object),
+            "block_max": pd.Series(dtype=object),
+            "avgdl_seg": pd.Series(dtype="float64"),
+        }
+        if positions:
+            cols["pos"] = pd.Series(dtype=object)
+        empty = pd.DataFrame(cols)
+        if len(pdf) == 0:
+            return empty
+        shard = int(key[0])
+        counts = pdf["df"].to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        row_off = np.concatenate(([0], np.cumsum(counts)))
+        ids = delta_decode_groups(
+            varint_decode(b"".join(pdf["doc_ids"]), total), row_off
+        ).astype(np.int64)
+        tfs_i = varint_decode(b"".join(pdf["tfs"]), total)
+        if positions:
+            occ_off = np.concatenate(([0], np.cumsum(tfs_i))).astype(np.int64)
+            pos = delta_decode_groups(
+                varint_decode(b"".join(pdf["pos"]), int(tfs_i.sum())), occ_off
+            ).astype(np.int64)
+        tcodes_row, terms_u = pd.factorize(pdf["term"])
+        lex = np.empty(len(terms_u), dtype=np.int64)
+        lex[np.argsort(terms_u)] = np.arange(len(terms_u))
+        tcodes = np.repeat(lex[tcodes_row.astype(np.int64)], counts)
+        term_by_code = np.empty(len(terms_u), dtype=object)
+        term_by_code[lex] = terms_u
+
+        order = np.lexsort((ids, tcodes))
+        ids, tfs_i, tcodes = ids[order], tfs_i[order], tcodes[order]
+        if positions:
+            pos, occ_off = gather_groups(pos, occ_off, order)
+        if len(tombs):
+            p = np.searchsorted(tombs, ids)
+            keep = tombs[np.minimum(p, len(tombs) - 1)] != ids
+            if positions:
+                lens = np.diff(occ_off)
+                pos = pos[np.repeat(keep, lens)]
+                occ_off = np.concatenate(
+                    ([0], np.cumsum(lens[keep]))
+                ).astype(np.int64)
+            ids, tfs_i, tcodes = ids[keep], tfs_i[keep], tcodes[keep]
+        if len(ids) == 0:
+            return empty
+        same_term = np.diff(tcodes) == 0
+        if np.any(same_term & (np.diff(ids) <= 0)):
+            raise RuntimeError(
+                f"duplicate (term, doc) posting entries in shard {shard} — "
+                "index corrupt; rebuild from the corpus"
+            )
+
+        bounds = np.nonzero(np.diff(tcodes))[0] + 1
+        offsets = np.concatenate(([0], bounds, [len(tcodes)]))
+        starts = offsets[:-1]
+        group_n = np.diff(offsets)
+
+        dl_ids, dl_vals = _load_dlpack_from_path(
+            dlpack_path, shard, lineages.get(shard, 0)
+        )
+        at = np.searchsorted(dl_ids, ids)
+        if len(dl_ids) == 0 or np.any(dl_ids[np.minimum(at, len(dl_ids) - 1)] != ids):
+            raise RuntimeError(
+                f"posting entry references a doc_id missing from shard "
+                f"{shard}'s dlpack — index corrupt; rebuild from the corpus"
+            )
+        dls = dl_vals[at]
+        tfs = tfs_i.astype(np.float64)
+        norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+        nblocks = (group_n + block_size - 1) // block_size
+        block_group = np.repeat(np.arange(len(starts)), nblocks)
+        within = (
+            np.concatenate([np.arange(nb) for nb in nblocks])
+            if len(nblocks)
+            else np.empty(0, dtype=np.int64)
+        )
+        bstarts = starts[block_group] + within * block_size
+        bends = np.minimum(bstarts + block_size, offsets[1:][block_group]) - 1
+        bmax = np.maximum.reduceat(norm, bstarts) if len(bstarts) else np.empty(0)
+        blast = ids[bends] if len(bstarts) else np.empty(0, dtype=np.int64)
+        bcum = np.concatenate(([0], np.cumsum(nblocks)))
+
+        ids_buf, ids_off = delta_encode_groups(ids.astype(np.uint64), offsets)
+        tf_buf, tf_off = varint_encode_groups(tfs_i.astype(np.uint64), offsets)
+        ids_mv, tf_mv = memoryview(ids_buf), memoryview(tf_buf)
+        out = {
+            "term": term_by_code[tcodes[starts]],
+            "shard": np.full(len(starts), shard, dtype=np.int32),
+            "df": group_n,
+            "doc_ids": [bytes(ids_mv[ids_off[i]: ids_off[i + 1]]) for i in range(len(starts))],
+            "tfs": [bytes(tf_mv[tf_off[i]: tf_off[i + 1]]) for i in range(len(starts))],
+            "block_last": [blast[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
+            "block_max": [bmax[bcum[i]: bcum[i + 1]].tolist() for i in range(len(starts))],
+            "avgdl_seg": np.full(len(starts), avgdl),
+        }
+        if positions:
+            pos_buf, pos_boff = delta_encode_groups(pos.astype(np.uint64), occ_off)
+            pos_mv = memoryview(pos_buf)
+            ends = starts + group_n
+            out["pos"] = [
+                bytes(pos_mv[pos_boff[starts[i]]: pos_boff[ends[i]]])
+                for i in range(len(starts))
+            ]
+        return pd.DataFrame(out)
+
+    return run
+
+
+def compact_index(
+    spark: SparkSession, out_dir: str, n_term_buckets: int = 8
+) -> dict:
+    """Apply tombstones and merge append segments into a clean index.
+
+    The Lucene merge step, distributed: no corpus access needed — every
+    input lives in the index itself. After compaction the index is
+    equivalent to a fresh ``build_index`` over the surviving corpus
+    (entry-identical postings, same stats; pinned by tests): tombstoned
+    docs are gone from docs/dlpack/postings, every (term, shard) owns
+    exactly ONE segment row, block-max bounds are recomputed at the
+    post-compaction avgdl (bound_scale returns to 1), corpus stats
+    (n_docs, avgdl, df) shrink to the survivors, and the tombstone table
+    is dropped.
+
+    Stage order keeps CONCURRENT READERS correct at every point: docs →
+    dlpack → postings → terms all stage-write then swap (never in-place),
+    and the tombstone table is deleted only at the very end — until then
+    open searchers keep filtering ids that simply no longer occur, which
+    is harmless. A crash mid-way leaves docs/postings manifest lineages
+    disagreeing, which append_index refuses and ``build_index(corpus,
+    resume=True)`` repairs shard-by-shard.
+
+    ``n_term_buckets`` bounds task memory: each task compacts 1/B of a
+    shard's postings (grouped by xxhash64(term) bucket) against the
+    shard's dlpack, decoded once per worker via a module-level cache.
+    """
+    meta = read_meta(out_dir)
+    config = IndexConfig(
+        n_shards=int(meta["n_shards"]),
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+        block_size=int(meta["block_size"]),
+        positions=bool(meta.get("positions", False)),
+    )
+    fp = config.fingerprint()
+    if fp != meta["config"]:
+        raise ValueError(
+            f"index config fingerprint mismatch ({fp} != {meta['config']})"
+        )
+    n_shards = config.n_shards
+    docs_path = os.path.join(out_dir, "docs")
+    postings_path = os.path.join(out_dir, "postings")
+    terms_path = os.path.join(out_dir, "terms")
+    dlpack_path = os.path.join(out_dir, "dlpack")
+    tombstones_path = os.path.join(out_dir, "tombstones")
+    metrics: dict[str, float] = {}
+
+    docs_man = _read_manifests(out_dir, "docs", fp)
+    post_man = _read_manifests(out_dir, "postings", fp)
+    for sh in range(n_shards):
+        if int(docs_man.get(sh, {}).get("lineage_xor", 0)) != int(
+            post_man.get(sh, {}).get("lineage_xor", 0)
+        ):
+            raise RuntimeError(
+                f"index inconsistent at shard {sh} (docs/postings lineage "
+                "mismatch — a previous append/build/compaction crashed); "
+                "repair with build_index(full_corpus, out_dir, resume=True)"
+            )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # the rebuild hint
+        tombs = read_tombstones(spark, out_dir)
+
+    # -- stage 1: docs rewrite (drop tombstoned rows) ----------------------
+    t0 = time.time()
+    docs = spark.read.parquet(docs_path)
+    if len(tombs):
+        tomb_df = spark.createDataFrame(
+            pd.DataFrame({"__tomb": tombs.astype(np.int64)})
+        )
+        survivors = docs.join(
+            tomb_df, docs["doc_id"] == tomb_df["__tomb"], "left_anti"
+        )
+        staging = docs_path + "__staging"
+        fs.delete(staging)
+        survivors.write.mode("overwrite").parquet(staging)
+        fs.delete(docs_path)
+        fs.rename(staging, docs_path)
+        spark.catalog.refreshByPath(docs_path)
+        docs = spark.read.parquet(docs_path)
+    lineage = _shard_lineage(docs)
+    present = {r["shard"] for r in lineage}
+    lineage += [
+        {"shard": s, "rows": 0, "tokens": 0, "lineage_xor": 0}
+        for s in range(n_shards)
+        if s not in present
+    ]
+    _write_manifests(out_dir, "docs", lineage, fp)
+    docs_lx = {r["shard"]: int(r["lineage_xor"]) for r in lineage}
+    n_docs = sum(r["rows"] for r in lineage)
+    total_tokens = sum(r["tokens"] for r in lineage)
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+    metrics["docs_sec"] = time.time() - t0
+
+    # -- stage 2: dlpack rebuild from surviving docs -----------------------
+    t0 = time.time()
+
+    def pack(key, pdf):
+        shard = int(key[0])
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        return pd.DataFrame(
+            [(shard, len(ids), delta_encode(ids[order].astype(np.uint64)),
+              varint_encode(dls[order].astype(np.uint64)))],
+            columns=["shard", "n", "doc_ids", "dls"],
+        )
+
+    staging = dlpack_path + "__staging"
+    fs.delete(staging)
+    (
+        docs.select("shard", "doc_id", "dl")
+        .groupBy("shard")
+        .applyInPandas(pack, schema=DLPACK_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    fs.delete(dlpack_path)
+    fs.rename(staging, dlpack_path)
+    spark.catalog.refreshByPath(dlpack_path)
+    _write_manifests(
+        out_dir,
+        "dlpack",
+        [
+            {"shard": sh, "rows": 1, "tokens": 0, "lineage_xor": docs_lx.get(sh, 0)}
+            for sh in range(n_shards)
+        ],
+        fp,
+    )
+    metrics["dlpack_sec"] = time.time() - t0
+
+    # -- stage 3: postings compaction --------------------------------------
+    t0 = time.time()
+    oschema = _with_pos(POSTINGS_SCHEMA) if config.positions else POSTINGS_SCHEMA
+    sel = ["term", "shard", "df", "doc_ids", "tfs"] + (
+        ["pos"] if config.positions else []
+    )
+    compacted = (
+        spark.read.parquet(postings_path)
+        .select(*sel)
+        .groupBy("shard", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).alias("__b"))
+        .applyInPandas(
+            _compact_group_fn(
+                dlpack_path, docs_lx, tombs, config.k1, config.b, avgdl,
+                config.block_size, config.positions,
+            ),
+            schema=oschema,
+        )
+    )
+    staging = postings_path + "__staging"
+    fs.delete(staging)
+    (
+        compacted.repartition(n_shards, "shard")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(staging)
+    )
+    fs.delete(postings_path)
+    fs.rename(staging, postings_path)
+    spark.catalog.refreshByPath(postings_path)
+    postings = spark.read.parquet(postings_path)
+    pl = (
+        postings.groupBy("shard")
+        .agg(F.count("*").alias("rows"), F.sum("df").alias("tokens"))
+        .collect()
+    )
+    man = [
+        {"shard": int(r["shard"]), "rows": int(r["rows"]),
+         "tokens": int(r["tokens"]), "lineage_xor": docs_lx.get(int(r["shard"]), 0)}
+        for r in pl
+    ]
+    seen = {m["shard"] for m in man}
+    man += [
+        {"shard": sh, "rows": 0, "tokens": 0, "lineage_xor": docs_lx.get(sh, 0)}
+        for sh in range(n_shards)
+        if sh not in seen
+    ]
+    _write_manifests(out_dir, "postings", man, fp)
+    metrics["postings_sec"] = time.time() - t0
+
+    # -- stage 4: term stats + meta + tombstone drop -----------------------
+    t0 = time.time()
+    staging = terms_path + "__staging"
+    fs.delete(staging)
+    postings.groupBy("term").agg(F.sum("df").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    fs.delete(terms_path)
+    fs.rename(staging, terms_path)
+    spark.catalog.refreshByPath(terms_path)
+    n_terms = _parquet_count_rows(spark, terms_path)
+    metrics["terms_sec"] = time.time() - t0
+
+    fs.delete(tombstones_path)
+    meta = dict(meta)
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "n_terms": n_terms,
+            "avgdl": avgdl,
+            "metrics": metrics,
+            "compactions": meta.get("compactions", [])
+            + [{"dropped": int(len(tombs)), "at": time.time()}],
+        }
+    )
+    fs.write_json(os.path.join(out_dir, "meta.json"), meta)
+    return meta

@@ -779,7 +779,7 @@ class TestTombstoneBudget:
             ix.read_tombstones(spark, d)
         # past 20%: warns with the compaction hint
         ix.delete_docs(spark, d, ids[2:6])
-        with pytest.warns(RuntimeWarning, match="rebuild the index"):
+        with pytest.warns(RuntimeWarning, match="compact_index"):
             ix.read_tombstones(spark, d)
 
 
@@ -1331,3 +1331,140 @@ class TestProximitySearch:
             sql = bm25_phrase_sql("t", phrase, k=100, slop=slop)
             got = set(con.execute(sql).fetchdf()["doc_id"])
             assert got == set(self._brute(docs, phrase, slop)), (phrase, slop)
+
+
+class TestCompaction:
+    """compact_index: applies tombstones + merges append segments without
+    the corpus; result is equivalent to a fresh build over the survivors."""
+
+    @staticmethod
+    def _ids_of(pdf):
+        from koncorde_spark.fulltext.indexer import doc_id_of
+
+        return [
+            doc_id_of(r, p, c)
+            for r, p, c in zip(pdf["repo"], pdf["path"], pdf["commit"])
+        ]
+
+    def _built(self, spark, tmp_path, positions=False, n_shards=3):
+        """Index built from 200 docs + 60 appended, 25 deleted; returns
+        (idx_dir, surviving_corpus_pdf, deleted_ids)."""
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        base = synthetic_corpus_pandas(n_rows=200, seed=5)
+        extra = synthetic_corpus_pandas(n_rows=260, seed=5).iloc[200:]
+        d = str(tmp_path / ("cidx_pos" if positions else "cidx"))
+        cfg = ix.IndexConfig(n_shards=n_shards, positions=positions)
+        ix.build_index(spark, spark.createDataFrame(base).repartition(3), d, cfg,
+                       resume=False)
+        ix.append_index(spark, spark.createDataFrame(extra).repartition(2), d)
+        full = pd.concat([base, extra], ignore_index=True)
+        all_ids = self._ids_of(full)
+        deleted = [i for n, i in enumerate(all_ids) if n % 9 == 0]
+        ix.delete_docs(spark, d, deleted)
+        keep = [i not in set(deleted) for i in all_ids]
+        return d, full[keep].reset_index(drop=True), deleted
+
+    def test_compact_equals_fresh_rebuild(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        d, survivors, _ = self._built(spark, tmp_path)
+        meta = ix.compact_index(spark, d, n_term_buckets=4)
+
+        ref = str(tmp_path / "ref")
+        ref_meta = ix.build_index(
+            spark, spark.createDataFrame(survivors).repartition(4), ref,
+            ix.IndexConfig(n_shards=3), resume=False,
+        )
+        assert meta["n_docs"] == ref_meta["n_docs"] == len(survivors)
+        assert meta["n_terms"] == ref_meta["n_terms"]
+        assert abs(meta["avgdl"] - ref_meta["avgdl"]) < 1e-9
+
+        ia, ib = Bm25Index(spark, d), Bm25Index(spark, ref)
+        for q in ("import return def", "ident_00042", "import ident_00007 class"):
+            ga, gb = ia.topk(q, 15).toPandas(), ib.topk(q, 15).toPandas()
+            assert list(ga["doc_id"]) == list(gb["doc_id"]), q
+            assert np.allclose(ga["score"], gb["score"], atol=0), q
+
+        # terms tables identical
+        ta = ia.spark.read.parquet(os.path.join(d, "terms")).toPandas()
+        tb = ib.spark.read.parquet(os.path.join(ref, "terms")).toPandas()
+        pd.testing.assert_frame_equal(
+            ta.sort_values("term").reset_index(drop=True),
+            tb.sort_values("term").reset_index(drop=True),
+        )
+
+    def test_one_segment_per_term_shard_and_tombstones_gone(self, spark, tmp_path):
+        import warnings as _warnings
+
+        from koncorde_spark.fulltext import indexer as ix
+
+        d, _, _ = self._built(spark, tmp_path)
+        ix.compact_index(spark, d, n_term_buckets=4)
+        posts = spark.read.parquet(os.path.join(d, "postings"))
+        dup = (
+            posts.groupBy("term", "shard").count().where("count > 1").count()
+        )
+        assert dup == 0
+        assert not os.path.exists(os.path.join(d, "tombstones"))
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            assert len(ix.read_tombstones(spark, d)) == 0
+        # every segment carries the post-compaction avgdl (bound_scale 1)
+        avgdl = ix.read_meta(d)["avgdl"]
+        segs = posts.select("avgdl_seg").distinct().collect()
+        assert len(segs) == 1 and abs(segs[0][0] - avgdl) < 1e-9
+
+    def test_positional_compact_preserves_phrase_and_proximity(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.fulltext.oracle import bm25_oracle_phrase
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        d, survivors, _ = self._built(spark, tmp_path, positions=True)
+        ix.compact_index(spark, d, n_term_buckets=4)
+        idx = Bm25Index(spark, d)
+        t0 = tokenize_text(survivors["content"].iloc[0])
+        for ph, slop in ((" ".join(t0[3:5]), 0), ("import return", 3)):
+            got = idx.topk_phrase(ph, 12, slop=slop).toPandas()
+            exp = bm25_oracle_phrase(survivors, ph, 12, slop=slop)
+            assert list(got["doc_id"]) == list(exp["doc_id"]), (ph, slop)
+            assert np.allclose(got["score"], exp["score"], atol=1e-9), (ph, slop)
+
+    def test_idempotent_and_serve_parity(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        d, _, _ = self._built(spark, tmp_path)
+        m1 = ix.compact_index(spark, d, n_term_buckets=4)
+        a = Bm25Index(spark, d).topk("import return", 10).toPandas()
+        m2 = ix.compact_index(spark, d, n_term_buckets=4)
+        assert m2["n_docs"] == m1["n_docs"] and m2["n_terms"] == m1["n_terms"]
+        b = Bm25Index(spark, d).topk("import return", 10).toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"], atol=0)
+        local = LocalSearcher(d).topk("import return", 10)
+        assert [int(x) for x in a["doc_id"]] == [i for i, _ in local]
+        assert np.allclose(a["score"], [s for _, s in local], atol=1e-12)
+
+    def test_append_after_compact(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        d, survivors, _ = self._built(spark, tmp_path)
+        ix.compact_index(spark, d, n_term_buckets=4)
+        extra2 = synthetic_corpus_pandas(n_rows=300, seed=5).iloc[260:]
+        meta = ix.append_index(spark, spark.createDataFrame(extra2), d)
+        assert meta["n_docs"] == len(survivors) + len(extra2)
+
+        ref = str(tmp_path / "ref2")
+        full = pd.concat([survivors, extra2], ignore_index=True)
+        ix.build_index(spark, spark.createDataFrame(full).repartition(4), ref,
+                       ix.IndexConfig(n_shards=3), resume=False)
+        ga = Bm25Index(spark, d).topk("import return def", 15).toPandas()
+        gb = Bm25Index(spark, ref).topk("import return def", 15).toPandas()
+        assert list(ga["doc_id"]) == list(gb["doc_id"])
+        assert np.allclose(ga["score"], gb["score"], atol=1e-12)
