@@ -185,6 +185,49 @@ def main():
         queries["bm25_append_2k"] / max(queries["bm25_append_2k_smallbase"], 1e-9), 2
     )
 
+    # compaction: tombstone 10% of the (now 22k-doc) index, then rewrite
+    # it tombstone-free with merged segments — all from the index itself
+    from koncorde_spark.fulltext.indexer import compact_index, delete_docs
+
+    # fresh read: idx was opened before the append, its docs handle is a
+    # pre-append snapshot (localCheckpointed by design)
+    all_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(idx_dir, "docs"))
+        .select("doc_id").collect()
+    ]
+    delete_docs(spark, idx_dir, all_ids[::10])
+    meta_c = timed("bm25_compact_22k", lambda: compact_index(spark, idx_dir))
+    assert meta_c["n_docs"] == len(all_ids) - len(all_ids[::10])
+    extra["compact_files_per_sec"] = round(
+        meta_c["n_docs"] / queries["bm25_compact_22k"], 1
+    )
+
+    # positional index: phrase + proximity query latency (8k docs)
+    pos_dir = "/tmp/koncorde_bench_idx_pos"
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    pos_corpus = synthetic_corpus_df(spark, n_rows=8000, seed=42,
+                                     partitions=cpus).cache()
+    pos_corpus.count()
+    timed(
+        "bm25_pos_index_build_8k",
+        lambda: build_index(spark, pos_corpus, pos_dir,
+                            IndexConfig(n_shards=cpus, positions=True),
+                            resume=False),
+    )
+    pidx = Bm25Index(spark, pos_dir)
+    phrases = ["import ident_00001", "def function", "return ident_00123",
+               "import return", "function ident_00033"]
+    t0 = time.time()
+    for ph in phrases:
+        pidx.topk_phrase(ph, 10).collect()
+    queries["bm25_phrase_x5"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for ph in phrases:
+        pidx.topk_phrase(ph, 10, slop=4).collect()
+    queries["bm25_near_x5"] = round(time.time() - t0, 3)
+    pos_corpus.unpersist()
+
     # --- reference-shaped microbench: 10k equals filters ------------------
     # mirrors /root/reference/benchmark.js (10,000 random-string equals
     # filters; README.md:98-99 reports 0.255s indexation, 10.3M single-doc
