@@ -23,6 +23,7 @@ from koncorde_spark.fulltext.brute import (
     bm25_brute_sql,
     bm25_brute_topk,
     bm25_phrase_sql,
+    bm25_prefix_sql,
 )
 from koncorde_spark.pipeline import dedup, sampling, similarity, text
 from koncorde_spark.rounding import round_away as _round_away
@@ -364,6 +365,33 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+BM25_PREFIX_QUERY = "table sp* jo*"
+BM25_PREFIX_MAX_EXP = 3
+
+
+def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-prefix search: each trailing-* token expands to its 3
+    highest-df vocabulary terms (ties by ascending term — max_expansions
+    deliberately tiny so the cap contract is exercised), then standard
+    multi-term BM25 over literals + expansions. Oracle: bm25_prefix_sql
+    derives the same expansion from the corpus df and scores with the
+    brute formula."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_prefix(BM25_PREFIX_QUERY, BM25_K, max_expansions=BM25_PREFIX_MAX_EXP)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-then-compact lifecycle end-to-end: build a fresh index,
     tombstone every doc with external id % 7 == 3, compact_index (drops
@@ -681,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_brute": _q_bm25_brute,
         "bm25_topk": _q_bm25_topk,
         "bm25_compacted": _q_bm25_compacted,
+        "bm25_prefix": _q_bm25_prefix,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -731,6 +760,12 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
+    _pfx_lits = [t for t in BM25_PREFIX_QUERY.split() if not t.endswith("*")]
+    _pfx_pfx = [t[:-1] for t in BM25_PREFIX_QUERY.split() if t.endswith("*")]
+    bm25_prefix = bm25_prefix_sql(
+        "documents", _pfx_lits, _pfx_pfx, BM25_K,
+        max_expansions=BM25_PREFIX_MAX_EXP, tie_sql=internal_id,
     )
     # compaction oracle: the same brute scan over the documents table with
     # the tombstoned-then-compacted rows excluded at the source
@@ -800,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_brute": bm25,
         "bm25_topk": bm25_indexed,
         "bm25_compacted": bm25_compacted,
+        "bm25_prefix": bm25_prefix,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

@@ -254,3 +254,89 @@ def bm25_phrase_sql(
     ORDER BY {order_score} DESC, {tie} ASC
     LIMIT {k}
     """
+
+
+def bm25_prefix_sql(
+    table: str,
+    literal_terms: list[str],
+    prefixes: list[str],
+    k: int = 10,
+    max_expansions: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of Bm25Index.topk_prefix / LocalSearcher.topk_prefix.
+
+    Each prefix expands to its ``max_expansions`` highest-df corpus terms
+    (ties by ascending term — the exact contract of expand_prefix, with
+    df derived from the same corpus the index indexed), the union of
+    literals + expansions dedups, and scoring is the standard brute BM25
+    over that term set."""
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    lit_pred = (
+        "term IN (" + ", ".join(q(t) for t in literal_terms) + ")"
+        if literal_terms
+        else "FALSE"
+    )
+    # LIKE-escape: the canonical token alphabet [a-z0-9_] contains '_',
+    # a LIKE wildcard — match with prefix(), which is literal
+    pfx_pred = " OR ".join(f"prefix(term, {q(p)})" for p in prefixes) or "FALSE"
+    expand_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT term FROM (SELECT term FROM alldf WHERE prefix(term, {q(p)}) "
+        f"ORDER BY df DESC, term ASC LIMIT {max_expansions})"
+        for p in prefixes
+    )
+    lit_values = (
+        "SELECT * FROM (VALUES " + ", ".join(f"({q(t)})" for t in literal_terms) + ")"
+        if literal_terms
+        else "SELECT term FROM alldf WHERE FALSE"
+    )
+    exp_cte = expand_selects if prefixes else "SELECT term FROM alldf WHERE FALSE"
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    tie_group = ", d3.__tie" if tie_sql else ""
+    order_score = "scored.score" if tie_sql else "score"
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col}{tie_proj},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    alltf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      WHERE {lit_pred} OR {pfx_pred}
+      GROUP BY {id_col}, term
+    ),
+    alldf AS (SELECT term, count(*) AS df FROM alltf GROUP BY term),
+    qterms AS (
+      SELECT DISTINCT term FROM (
+      {exp_cte}
+      UNION ALL
+      {lit_values}
+      )
+    ),
+    tf AS (SELECT alltf.* FROM alltf JOIN qterms USING(term)),
+    dfreq AS (SELECT alldf.term, alldf.df FROM alldf JOIN qterms USING(term)),
+    scored AS (
+      SELECT tf.{id_col}{tie_group},
+             sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
+      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
+      GROUP BY tf.{id_col}{tie_group}
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score
+    FROM scored
+    ORDER BY {order_score} DESC, {tie} ASC
+    LIMIT {k}
+    """

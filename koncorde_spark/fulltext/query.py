@@ -28,6 +28,12 @@ from .phrase import decode_entry_positions, merge_term_segments, phrase_topk_sha
 from .tokenizer import tokenize_text
 from .wand import TermPostings, bm25_idf, topk_block_max_wand, topk_conjunctive
 
+import re as _re
+
+# the part before '*' in a prefix query must itself be a single canonical
+# token (4-place tokenizer invariant: [a-z0-9_]+ on lowercased text)
+_PREFIX_RE = _re.compile(r"[a-z0-9_]+")
+
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -299,6 +305,50 @@ class Bm25Index:
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Vocabulary terms starting with ``prefix``, highest-df first
+        (ties by ascending term), capped at ``max_expansions``.
+
+        One tiny job over the cached terms table; startswith compiles to a
+        Catalyst StartsWith predicate (parquet row-group pruning on the
+        term-sorted files). The (df DESC, term ASC) cap is the
+        deterministic contract the SQL oracle reproduces verbatim."""
+        rows = (
+            self.terms.where(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def topk_prefix(
+        self, query: str, k: int = 10, max_expansions: int = 50, mode: str = "any"
+    ) -> DataFrame:
+        """Top-k for a query mixing literal terms and trailing-wildcard
+        prefixes ("import ide*"): each prefix expands to its
+        ``max_expansions`` highest-df vocabulary terms (Lucene
+        MultiTermQuery discipline), and the union of literals + expansions
+        is scored as a standard multi-term BM25 — each distinct term
+        contributes its own idf, so results equal a plain topk over the
+        expanded term list (by construction: this method delegates to it).
+        """
+        literals, expanded = [], []
+        for tok in query.split():
+            if tok.endswith("*") and len(tok) > 1:
+                base = tok[:-1].lower()
+                if not _PREFIX_RE.fullmatch(base):
+                    raise ValueError(
+                        f"invalid prefix {tok!r}: the part before '*' must "
+                        "be a single token ([a-z0-9_]+)"
+                    )
+                expanded.extend(self.expand_prefix(base, max_expansions))
+            else:
+                literals.extend(tokenize_text(tok))
+        terms = sorted(set(literals) | set(expanded))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(" ".join(terms), k, mode=mode)
 
     def topk_filtered(self, query: str, filters: dict, k: int = 10) -> DataFrame:
         """BM25 top-k restricted to docs whose METADATA matches a koncorde

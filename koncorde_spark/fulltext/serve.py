@@ -140,6 +140,38 @@ class LocalSearcher:
         order = np.lexsort((ids, -scores))[:k]
         return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Vocabulary terms starting with ``prefix``, (df DESC, term ASC)
+        capped — the same deterministic contract as Bm25Index.expand_prefix
+        (here an in-memory scan of the already-loaded term dict)."""
+        hits = [(t, df) for t, df in self._df.items() if t.startswith(prefix)]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in hits[:max_expansions]]
+
+    def topk_prefix(
+        self, query: str, k: int = 10, max_expansions: int = 50, mode: str = "any"
+    ) -> list[tuple[int, float]]:
+        """Wildcard-prefix top-k, rank-identical to Bm25Index.topk_prefix
+        (same expansion contract, then the shared topk path)."""
+        from .query import _PREFIX_RE
+
+        literals, expanded = [], []
+        for tok in query.split():
+            if tok.endswith("*") and len(tok) > 1:
+                base = tok[:-1].lower()
+                if not _PREFIX_RE.fullmatch(base):
+                    raise ValueError(
+                        f"invalid prefix {tok!r}: the part before '*' must "
+                        "be a single token ([a-z0-9_]+)"
+                    )
+                expanded.extend(self.expand_prefix(base, max_expansions))
+            else:
+                literals.extend(tokenize_text(tok))
+        terms = sorted(set(literals) | set(expanded))
+        if not terms:
+            return []
+        return self.topk(" ".join(terms), k, mode=mode)
+
     def phrase(
         self, phrase: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:

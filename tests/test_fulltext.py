@@ -1468,3 +1468,64 @@ class TestCompaction:
         gb = Bm25Index(spark, ref).topk("import return def", 15).toPandas()
         assert list(ga["doc_id"]) == list(gb["doc_id"])
         assert np.allclose(ga["score"], gb["score"], atol=1e-12)
+
+
+class TestPrefixSearch:
+    """Wildcard-prefix queries: deterministic (df DESC, term ASC) capped
+    expansion from the vocabulary, then standard multi-term BM25."""
+
+    def test_expansion_contract(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        terms = idx.terms.toPandas()
+        hits = terms[terms["term"].str.startswith("ident_000")]
+        exp = list(
+            hits.sort_values(["df", "term"], ascending=[False, True])["term"].head(5)
+        )
+        got = idx.expand_prefix("ident_000", 5)
+        assert got == exp
+        assert LocalSearcher(bm25_index_dir).expand_prefix("ident_000", 5) == exp
+        assert len(idx.expand_prefix("zzz_no_such", 5)) == 0
+
+    def test_topk_prefix_equals_expanded_topk(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        expanded = idx.expand_prefix("ident_0001", 4)
+        assert expanded  # fixture vocabulary has these
+        manual = idx.topk(" ".join(sorted({"import", *expanded})), 12).toPandas()
+        got = idx.topk_prefix("import ident_0001*", 12, max_expansions=4).toPandas()
+        assert list(got["doc_id"]) == list(manual["doc_id"])
+        assert np.allclose(got["score"], manual["score"], atol=0)
+
+    def test_serve_parity_and_conjunctive_mode(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        searcher = LocalSearcher(bm25_index_dir)
+        for mode in ("any", "all"):
+            dist = [
+                (int(r.doc_id), round(float(r.score), 12))
+                for r in idx.topk_prefix("import ret*", 10, 5, mode=mode)
+                .toPandas().itertuples()
+            ]
+            local = [
+                (d, round(s, 12))
+                for d, s in searcher.topk_prefix("import ret*", 10, 5, mode=mode)
+            ]
+            assert dist == local, mode
+
+    def test_invalid_and_empty_prefixes(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        with pytest.raises(ValueError, match="single token"):
+            idx.topk_prefix("foo.bar*", 5)
+        with pytest.raises(ValueError, match="single token"):
+            LocalSearcher(bm25_index_dir).topk_prefix("foo.bar*", 5)
+        assert idx.topk_prefix("zzz_no_such*", 5).count() == 0
+        assert LocalSearcher(bm25_index_dir).topk_prefix("zzz_no_such*", 5) == []
