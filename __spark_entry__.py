@@ -22,6 +22,7 @@ from koncorde_spark.spark.percolate import percolate
 from koncorde_spark.fulltext.brute import (
     bm25_brute_sql,
     bm25_brute_topk,
+    bm25_highlight_sql,
     bm25_phrase_sql,
     bm25_prefix_sql,
 )
@@ -361,6 +362,34 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
         F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
         _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+BM25_HL_WINDOW = 12
+
+
+def _q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with snippet selection over the positional index: for each
+    winner, the 12-token window holding the most query-term occurrences
+    (ties → smallest start). Oracle: bm25_highlight_sql anchors the same
+    windows with list lambdas over the same canonical tokens."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir) + "_pos"
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(
+        spark, corpus, idx_dir, IndexConfig(n_shards=8, positions=True), resume=True
+    )
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_highlight(" ".join(BM25_QUERY_TERMS), BM25_K, window=BM25_HL_WINDOW)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+        F.col("snip_start"),
+        F.col("snip_hits"),
     )
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
@@ -710,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_compacted": _q_bm25_compacted,
         "bm25_prefix": _q_bm25_prefix,
+        "bm25_highlight": _q_bm25_highlight,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -760,6 +790,10 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
+    bm25_highlight = bm25_highlight_sql(
+        "documents", BM25_QUERY_TERMS, BM25_K, window=BM25_HL_WINDOW,
+        tie_sql=internal_id,
     )
     _pfx_lits = [t for t in BM25_PREFIX_QUERY.split() if not t.endswith("*")]
     _pfx_pfx = [t[:-1] for t in BM25_PREFIX_QUERY.split() if t.endswith("*")]
@@ -836,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_indexed,
         "bm25_compacted": bm25_compacted,
         "bm25_prefix": bm25_prefix,
+        "bm25_highlight": bm25_highlight,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

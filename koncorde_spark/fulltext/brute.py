@@ -340,3 +340,83 @@ def bm25_prefix_sql(
     ORDER BY {order_score} DESC, {tie} ASC
     LIMIT {k}
     """
+
+
+def bm25_highlight_sql(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    window: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of Bm25Index.topk_highlight / LocalSearcher.highlight.
+
+    Standard brute BM25 top-k, then for each winner the best snippet
+    window: anchors are 1-based positions of any query term; the window
+    value is the occurrence count in ``[p, p + window)``; max value wins,
+    ties to the smallest anchor; ``snip_start`` is emitted 0-based to
+    match the kernel's token offsets."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    tie_group = ", d3.__tie" if tie_sql else ""
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col}{tie_proj},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    tf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      WHERE term IN ({terms})
+      GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.{id_col}{tie_group},
+             sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
+      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
+      GROUP BY tf.{id_col}{tie_group}
+    ),
+    topk AS (
+      SELECT {id_col}{tie_carry}, score
+      FROM scored
+      ORDER BY scored.score DESC, {tie} ASC
+      LIMIT {k}
+    ),
+    anchors AS (
+      SELECT topk.{id_col}, topk.score{', topk.__tie' if tie_sql else ''},
+             unnest(pos) AS p, pos
+      FROM topk
+      JOIN (SELECT {id_col},
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] IN ({terms})) AS pos
+            FROM d3) px USING({id_col})
+    ),
+    wins AS (
+      SELECT {id_col}, score{tie_carry}, p,
+             len(list_filter(pos, x -> x >= p AND x < p + {window})) AS cnt,
+             row_number() OVER (
+               PARTITION BY {id_col}
+               ORDER BY len(list_filter(pos, x -> x >= p AND x < p + {window})) DESC,
+                        p ASC
+             ) AS rn
+      FROM anchors
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score,
+           (p - 1)::BIGINT AS snip_start, cnt::BIGINT AS snip_hits
+    FROM wins
+    WHERE rn = 1
+    ORDER BY wins.score DESC, {tie} ASC
+    LIMIT {k}
+    """

@@ -34,6 +34,15 @@ import re as _re
 # token (4-place tokenizer invariant: [a-z0-9_]+ on lowercased text)
 _PREFIX_RE = _re.compile(r"[a-z0-9_]+")
 
+HIGHLIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("snip_start", T.LongType()),
+        T.StructField("snip_hits", T.LongType()),
+    ]
+)
+
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -520,6 +529,85 @@ class Bm25Index:
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_highlight(
+        self, query: str, k: int = 10, window: int = 30
+    ) -> DataFrame:
+        """Top-k with snippet selection over a POSITIONAL index: (doc_id,
+        score, snip_start, snip_hits) where ``[snip_start, snip_start +
+        window)`` is the token-offset window holding the most query-term
+        occurrences (ties → smallest start; see highlight.py). Scores are
+        the standard multi-term BM25 sum — identical to ``topk`` (pinned
+        by tests); terms absent from the vocabulary simply contribute
+        nothing (unlike phrase, which requires all)."""
+        from .highlight import highlight_topk_shard
+
+        if not self.meta.get("positions"):
+            raise RuntimeError(
+                "highlighting requires a positional index — build with "
+                "IndexConfig(positions=True)"
+            )
+        toks = sorted(set(tokenize_text(query)))
+        dfs = self._df_for(toks)
+        present = [t for t in toks if t in dfs]
+        if not present:
+            return self.spark.createDataFrame([], HIGHLIGHT_SCHEMA)
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b = meta["k1"], meta["b"]
+        idf_by_term = {t: float(bm25_idf(n_docs, dfs[t])) for t in present}
+
+        k_, window_ = k, window
+        k1_, b_, avgdl_ = k1, b, avgdl
+        tomb = self.tombstones
+        cctx = self._cache_ctx
+
+        def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                    "snip_start": pd.Series(dtype="int64"),
+                    "snip_hits": pd.Series(dtype="int64"),
+                }
+            )
+            if len(post_pdf) == 0 or len(pack_pdf) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for _, row in post_pdf.iterrows():
+                by_term.setdefault(row["term"], []).append(
+                    decode_entry_positions(
+                        bytes(row["doc_ids"]), bytes(row["tfs"]),
+                        bytes(row["pos"]), int(row["df"]),
+                    )
+                )
+            cache_key = None
+            if cctx is not None:
+                index_dir, lineages = cctx
+                shard = int(pack_pdf.iloc[0]["shard"])
+                if shard in lineages:
+                    cache_key = (index_dir, shard, lineages[shard])
+            dl_ids, dl_vals = _decode_dlpack(pack_pdf, cache_key)
+            here = sorted(by_term)
+            per_term = [merge_term_segments(by_term[t]) for t in here]
+            ids, scores, starts, hits = highlight_topk_shard(
+                per_term, [idf_by_term[t] for t in here], k1_, b_, avgdl_,
+                dl_ids, dl_vals, k_, window_, tomb,
+            )
+            return pd.DataFrame(
+                {"doc_id": ids, "score": scores,
+                 "snip_start": starts, "snip_hits": hits}
+            )
+
+        relevant = self.postings.where(F.col("term").isin(present)).select(
+            "term", "shard", "df", "doc_ids", "tfs", "pos"
+        )
+        per_shard = (
+            relevant.groupBy("shard")
+            .cogroup(self.dlpack.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=HIGHLIGHT_SCHEMA)
+        )
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Top-k per query for a BATCH of queries in ONE Spark job.

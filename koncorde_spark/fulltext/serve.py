@@ -140,6 +140,61 @@ class LocalSearcher:
         order = np.lexsort((ids, -scores))[:k]
         return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]
 
+    def highlight(
+        self, query: str, k: int = 10, window: int = 30
+    ) -> list[tuple[int, float, int, int]]:
+        """Top-k with snippets over a positional index — rank- and
+        window-identical to Bm25Index.topk_highlight by the shared
+        kernel (highlight.py). Returns (doc_id, score, snip_start,
+        snip_hits) tuples."""
+        if not self.meta.get("positions"):
+            raise RuntimeError(
+                "highlighting requires a positional index — build with "
+                "IndexConfig(positions=True)"
+            )
+        from .highlight import highlight_topk_shard
+        from .phrase import decode_entry_positions, merge_term_segments
+
+        toks = sorted(set(tokenize_text(query)))
+        present = [t for t in toks if t in self._df]
+        if not present:
+            return []
+        idf = {t: float(bm25_idf(self.meta["n_docs"], self._df[t])) for t in present}
+        k1, b, avgdl = self.meta["k1"], self.meta["b"], self.meta["avgdl"]
+
+        tbl = self._postings.to_table(
+            filter=ds.field("term").isin(present),
+            columns=["term", "shard", "df", "doc_ids", "tfs", "pos"],
+        )
+        by_shard: dict[int, dict[str, list]] = {}
+        for i in range(tbl.num_rows):
+            shard = int(tbl["shard"][i].as_py())
+            by_shard.setdefault(shard, {}).setdefault(
+                tbl["term"][i].as_py(), []
+            ).append(
+                decode_entry_positions(
+                    bytes(tbl["doc_ids"][i].as_py()),
+                    bytes(tbl["tfs"][i].as_py()),
+                    bytes(tbl["pos"][i].as_py()),
+                    int(tbl["df"][i].as_py()),
+                )
+            )
+        rows: list[tuple[int, float, int, int]] = []
+        for shard, by_term in by_shard.items():
+            here = sorted(by_term)
+            per_term = [merge_term_segments(by_term[t]) for t in here]
+            dl_ids, dl_vals = self._dl[shard]
+            ids, scores, starts, hits = highlight_topk_shard(
+                per_term, [idf[t] for t in here], k1, b, avgdl,
+                dl_ids, dl_vals, k, window, self._tombstones,
+            )
+            rows.extend(
+                (int(i), float(s), int(st), int(h))
+                for i, s, st, h in zip(ids, scores, starts, hits)
+            )
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Vocabulary terms starting with ``prefix``, (df DESC, term ASC)
         capped — the same deterministic contract as Bm25Index.expand_prefix

@@ -1529,3 +1529,86 @@ class TestPrefixSearch:
             LocalSearcher(bm25_index_dir).topk_prefix("foo.bar*", 5)
         assert idx.topk_prefix("zzz_no_such*", 5).count() == 0
         assert LocalSearcher(bm25_index_dir).topk_prefix("zzz_no_such*", 5) == []
+
+
+class TestHighlight:
+    """Snippet selection over the positional index (topk_highlight /
+    serve.highlight / bm25_highlight_sql): best fixed-width window by
+    query-term occurrence count, anchored at occurrences, ties to the
+    smallest start."""
+
+    def _occ(self, docs, term):
+        return TestProximitySearch._occ(self, docs, term)
+
+    def test_kernel_fuzz_vs_brute(self):
+        import random
+
+        from koncorde_spark.fulltext.highlight import best_windows
+
+        rng = random.Random(3)
+        vocab = list("abcdef")
+        for trial in range(300):
+            docs = {
+                i: [rng.choice(vocab) for _ in range(rng.randint(1, 50))]
+                for i in range(rng.randint(1, 10))
+            }
+            terms = sorted(set(rng.sample(vocab, rng.randint(1, 3))))
+            w = rng.randint(1, 8)
+            per = [p for p in (self._occ(docs, t) for t in terms) if len(p.doc_ids)]
+            present = sorted(
+                d for d, toks in docs.items() if any(t in toks for t in terms)
+            )
+            if not present:
+                continue
+            ids = np.array(present, np.int64)
+            idx = list(range(len(ids)))
+            rng.shuffle(idx)
+            ids = ids[idx]
+            starts, hits = best_windows(per, ids, w)
+            for d, s, h in zip(ids.tolist(), starts.tolist(), hits.tolist()):
+                pos = [i for i, t in enumerate(docs[d]) if t in terms]
+                best = max(
+                    ((p, sum(1 for x in pos if p <= x < p + w)) for p in pos),
+                    key=lambda t2: (t2[1], -t2[0]),
+                )
+                assert (s, h) == best, (trial, d, terms, w, docs[d])
+
+    def test_scores_equal_plain_topk(self, spark, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        hl = idx.topk_highlight("import return def", 12, window=15).toPandas()
+        tk = idx.topk("import return def", 12).toPandas()
+        assert list(hl["doc_id"]) == list(tk["doc_id"])
+        assert np.allclose(hl["score"], tk["score"], atol=1e-12)
+        assert (hl["snip_hits"] >= 1).all()
+
+    def test_serve_parity(self, spark, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        searcher = LocalSearcher(bm25_pos_index_dir)
+        for q, w in (("import return", 10), ("ident_00042 import def", 25)):
+            dist = [
+                (int(r.doc_id), round(float(r.score), 12), int(r.snip_start),
+                 int(r.snip_hits))
+                for r in idx.topk_highlight(q, 10, window=w).toPandas().itertuples()
+            ]
+            local = [
+                (d, round(s, 12), st, h)
+                for d, s, st, h in searcher.highlight(q, 10, window=w)
+            ]
+            assert dist == local, (q, w)
+
+    def test_requires_positions_and_absent_terms(self, spark, bm25_index_dir, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        with pytest.raises(RuntimeError, match="positional"):
+            Bm25Index(spark, bm25_index_dir).topk_highlight("import", 5)
+        with pytest.raises(RuntimeError, match="positional"):
+            LocalSearcher(bm25_index_dir).highlight("import", 5)
+        idx = Bm25Index(spark, bm25_pos_index_dir)
+        assert idx.topk_highlight("zzz_nope_xx", 5).count() == 0
+        assert LocalSearcher(bm25_pos_index_dir).highlight("zzz_nope_xx", 5) == []
