@@ -1502,3 +1502,45 @@ def compact_index(
     )
     fs.write_json(os.path.join(out_dir, "meta.json"), meta)
     return meta
+
+
+def maybe_compact(
+    spark: SparkSession,
+    out_dir: str,
+    every_appends: int | None = None,
+    tombstone_fraction: float | None = None,
+) -> dict | None:
+    """Run ``compact_index`` iff a maintenance trigger fires; else None.
+
+    Triggers (either may be None to disable):
+    - ``every_appends``: at least this many appends recorded since the
+      last compaction (or since the initial build) — bounds per-(term,
+      shard) segment count, which query tiers pay per decode;
+    - ``tombstone_fraction``: distinct tombstones exceed this fraction of
+      ``n_docs`` — bounds the per-query filter set and closure bytes.
+
+    Decision inputs are metadata only (meta.json + the tombstone
+    parquet); nothing scans postings. This is the Lucene merge-policy
+    analog for the streaming ingestion path (index_stream.stream_append
+    calls it after each fold when configured).
+    """
+    meta = read_meta(out_dir)
+    fire = False
+    if every_appends is not None:
+        appends = meta.get("appends", [])
+        compactions = meta.get("compactions", [])
+        last = compactions[-1]["at"] if compactions else 0.0
+        since = sum(1 for a in appends if a.get("at", 0.0) > last)
+        fire = since >= every_appends
+    if not fire and tombstone_fraction is not None:
+        n_docs = int(meta.get("n_docs", 0))
+        if n_docs:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                n_tombs = len(read_tombstones(spark, out_dir))
+            fire = n_tombs > tombstone_fraction * n_docs
+    if not fire:
+        return None
+    return compact_index(spark, out_dir)

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..fulltext.indexer import append_index
+from ..fulltext.indexer import append_index, maybe_compact
 
 CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
 
@@ -38,12 +38,23 @@ def stream_append(
     index_dir: str,
     checkpoint: str,
     trigger_seconds: int | None = None,
+    compact_every_appends: int | None = None,
+    compact_tombstone_fraction: float | None = None,
 ):
     """Start a streaming query folding each micro-batch into the index.
 
     Returns the started StreamingQuery. Batches with zero new documents
     are no-ops (append_index's anti-join), so at-least-once replay after
     a crash is safe.
+
+    ``compact_every_appends`` / ``compact_tombstone_fraction``: the merge
+    policy (indexer.maybe_compact), checked after each fold — e.g.
+    ``compact_every_appends=50`` rewrites the index tombstone-free with
+    one segment per (term, shard) every 50 micro-batches. Compaction runs
+    INSIDE foreachBatch, so the stream pauses for its duration — size the
+    trigger cadence so an occasional merge fits, exactly like sizing
+    Lucene's merge throttling. Readers stay correct throughout (staged
+    swaps; tombstones deleted last).
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_append expects a streaming DataFrame")
@@ -55,6 +66,13 @@ def stream_append(
         if batch_df.isEmpty():
             return
         append_index(batch_df.sparkSession, batch_df, index_dir)
+        if compact_every_appends or compact_tombstone_fraction:
+            maybe_compact(
+                batch_df.sparkSession,
+                index_dir,
+                every_appends=compact_every_appends,
+                tombstone_fraction=compact_tombstone_fraction,
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)

@@ -1612,3 +1612,44 @@ class TestHighlight:
         idx = Bm25Index(spark, bm25_pos_index_dir)
         assert idx.topk_highlight("zzz_nope_xx", 5).count() == 0
         assert LocalSearcher(bm25_pos_index_dir).highlight("zzz_nope_xx", 5) == []
+
+
+class TestMergePolicy:
+    """maybe_compact: metadata-only triggers for the streaming merge
+    policy — appends since last compaction, or tombstone fraction."""
+
+    def test_every_appends_trigger(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        d = str(tmp_path / "idx")
+        base = synthetic_corpus_pandas(n_rows=60, seed=9)
+        ix.build_index(spark, spark.createDataFrame(base), d,
+                       ix.IndexConfig(n_shards=2), resume=False)
+        grow = synthetic_corpus_pandas(n_rows=100, seed=9)
+        ix.append_index(spark, spark.createDataFrame(grow.iloc[60:80]), d)
+        assert ix.maybe_compact(spark, d, every_appends=2) is None
+        ix.append_index(spark, spark.createDataFrame(grow.iloc[80:]), d)
+        meta = ix.maybe_compact(spark, d, every_appends=2)
+        assert meta is not None and meta["n_docs"] == 100
+        posts = spark.read.parquet(os.path.join(d, "postings"))
+        assert posts.groupBy("term", "shard").count().where("count > 1").count() == 0
+        # appends-since resets: the next check does not fire
+        assert ix.maybe_compact(spark, d, every_appends=2) is None
+
+    def test_tombstone_fraction_trigger(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        d = str(tmp_path / "idx")
+        base = synthetic_corpus_pandas(n_rows=50, seed=10)
+        ix.build_index(spark, spark.createDataFrame(base), d,
+                       ix.IndexConfig(n_shards=2), resume=False)
+        ids = [r["doc_id"] for r in
+               spark.read.parquet(os.path.join(d, "docs")).select("doc_id").collect()]
+        ix.delete_docs(spark, d, ids[:5])  # 10%
+        assert ix.maybe_compact(spark, d, tombstone_fraction=0.25) is None
+        ix.delete_docs(spark, d, ids[5:20])  # 40% total
+        meta = ix.maybe_compact(spark, d, tombstone_fraction=0.25)
+        assert meta is not None and meta["n_docs"] == 30
+        assert not os.path.exists(os.path.join(d, "tombstones"))

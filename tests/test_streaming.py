@@ -260,6 +260,76 @@ class TestStreamAppend:
             assert list(got["doc_id"]) == list(want["doc_id"]), qtext
             assert np.allclose(got["score"], want["score"], atol=1e-12)
 
+    def test_merge_policy_compacts_in_stream(self, spark, tmp_path):
+        """compact_every_appends=1: after the micro-batch folds, the
+        policy fires and the index ends tombstone-free with one segment
+        per (term, shard) — still answering identically to a rebuild."""
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        from koncorde_spark.fulltext.indexer import (
+            IndexConfig,
+            build_index,
+            read_meta,
+        )
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.streaming.index_stream import stream_append
+
+        rng = np.random.default_rng(33)
+        words = np.array("alpha beta gamma delta import spark".split())
+
+        def corpus_pdf(tag, n, length):
+            return pd.DataFrame(
+                {
+                    "repo": [f"r{i % 2}" for i in range(n)],
+                    "path": [f"{tag}/{i}.py" for i in range(n)],
+                    "commit": ["c1"] * n,
+                    "lang": ["py"] * n,
+                    "content": [
+                        " ".join(rng.choice(words, size=length)) for _ in range(n)
+                    ],
+                }
+            )
+
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        batch1, batch2 = corpus_pdf("a", 20, 10), corpus_pdf("b", 12, 25)
+        idx_dir = str(tmp_path / "idx")
+        build_index(spark, spark.createDataFrame(batch1), idx_dir,
+                    IndexConfig(n_shards=4), resume=False)
+        spark.createDataFrame(batch2).coalesce(1).write.parquet(
+            str(incoming / "b2"), mode="overwrite"
+        )
+        schema = spark.createDataFrame(batch1).schema
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(incoming))
+        q = stream_append(stream, idx_dir, checkpoint=str(tmp_path / "ckpt"),
+                          compact_every_appends=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert read_meta(idx_dir).get("compactions"), "policy never fired"
+        posts = spark.read.parquet(os.path.join(idx_dir, "postings"))
+        assert posts.groupBy("term", "shard").count().where("count > 1").count() == 0
+
+        full_dir = str(tmp_path / "full")
+        build_index(
+            spark,
+            spark.createDataFrame(pd.concat([batch1, batch2], ignore_index=True)),
+            full_dir, IndexConfig(n_shards=4), resume=False,
+        )
+        inc, full = Bm25Index(spark, idx_dir), Bm25Index(spark, full_dir)
+        for qtext in ["alpha import", "beta gamma spark"]:
+            got = inc.topk(qtext, 10).toPandas()
+            want = full.topk(qtext, 10).toPandas()
+            assert list(got["doc_id"]) == list(want["doc_id"]), qtext
+            assert np.allclose(got["score"], want["score"], atol=1e-12)
+
     def test_requires_streaming_df_and_schema(self, spark):
         import pandas as pd
 
