@@ -22,6 +22,7 @@ from koncorde_spark.spark.percolate import percolate
 from koncorde_spark.fulltext.brute import (
     bm25_brute_sql,
     bm25_brute_topk,
+    bm25_fields_sql,
     bm25_highlight_sql,
     bm25_phrase_sql,
     bm25_prefix_sql,
@@ -360,6 +361,43 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = Bm25Index(spark, idx_dir)
     top = idx.topk_phrase(BM25_NEAR_PHRASE, BM25_K, slop=BM25_NEAR_SLOP)
     mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+BM25_FIELDS_TERMS = ["spark", "merge", "doc_42"]
+BM25_FIELDS_PATH_WEIGHT = 2.5
+
+
+def _q_bm25_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field weighted search: the text corpus and a path-derived
+    field each indexed separately (same doc identity → same doc_id and
+    shard), ranked by 1.0·BM25_text + 2.5·BM25_path computed exactly in
+    one shard-cogrouped pass. The doc_42 query term only exists in the
+    path field — the weighting visibly reorders the cut. Oracle:
+    bm25_fields_sql sums the same per-field brute scores."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.multifield import MultiFieldSearch
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    text_dir = _bm25_index_dir(sf_dir)
+    build_index(spark, corpus, text_dir, IndexConfig(n_shards=8), resume=True)
+    path_dir = _bm25_index_dir(sf_dir) + "_path"
+    path_corpus = corpus.withColumn("content", F.col("path"))
+    build_index(spark, path_corpus, path_dir, IndexConfig(n_shards=8), resume=True)
+
+    text_idx = Bm25Index(spark, text_dir)
+    mf = MultiFieldSearch(
+        spark,
+        {"content": text_idx, "path": Bm25Index(spark, path_dir)},
+        weights={"content": 1.0, "path": BM25_FIELDS_PATH_WEIGHT},
+    )
+    top = mf.topk(" ".join(BM25_FIELDS_TERMS), BM25_K)
+    mapped = top.join(text_idx.docs.select("doc_id", "path"), "doc_id").select(
         F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
         _round_away(F.col("score"), 6).alias("score"),
     )
@@ -740,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compacted": _q_bm25_compacted,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_highlight": _q_bm25_highlight,
+        "bm25_fields": _q_bm25_fields,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -790,6 +829,17 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
+    bm25_fields = bm25_fields_sql(
+        "documents",
+        [
+            ("text", 1.0),
+            ("'docs/doc_' || CAST(doc_id AS VARCHAR) || '.txt'",
+             BM25_FIELDS_PATH_WEIGHT),
+        ],
+        BM25_FIELDS_TERMS,
+        BM25_K,
+        tie_sql=internal_id,
     )
     bm25_highlight = bm25_highlight_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, window=BM25_HL_WINDOW,
@@ -871,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compacted": bm25_compacted,
         "bm25_prefix": bm25_prefix,
         "bm25_highlight": bm25_highlight,
+        "bm25_fields": bm25_fields,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

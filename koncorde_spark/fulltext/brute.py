@@ -420,3 +420,72 @@ def bm25_highlight_sql(
     ORDER BY wins.score DESC, {tie} ASC
     LIMIT {k}
     """
+
+
+def bm25_fields_sql(
+    table: str,
+    fields: list[tuple[str, float]],
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of multifield.MultiFieldSearch.topk.
+
+    ``fields``: (text_expression, weight) pairs — each field is scored as
+    its own corpus (own n/avgdl/df over that expression's tokens) and the
+    final rank is the weighted sum of per-field BM25 scores."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    tie = "__tie" if tie_sql else id_col
+    ctes = []
+    unions = []
+    for i, (expr, w) in enumerate(fields):
+        ctes.append(f"""d3_{i} AS (
+      SELECT {id_col}, toks, len(toks) AS dl FROM (
+        SELECT {id_col},
+               list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9_]+'),
+                           t -> t <> '') AS toks
+        FROM {table})
+    ),
+    stats_{i} AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3_{i}),
+    tf_{i} AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3_{i})
+      WHERE term IN ({terms})
+      GROUP BY {id_col}, term
+    ),
+    dfreq_{i} AS (SELECT term, count(*) AS df FROM tf_{i} GROUP BY term),
+    scored_{i} AS (
+      SELECT tf_{i}.{id_col},
+             sum(ln(1 + (stats_{i}.n - dfreq_{i}.df + 0.5) / (dfreq_{i}.df + 0.5))
+                 * tf_{i}.tf * ({k1} + 1.0)
+                 / (tf_{i}.tf + {k1} * (1.0 - {b} + {b} * d3_{i}.dl / stats_{i}.avgdl))) AS score
+      FROM tf_{i} JOIN dfreq_{i} USING(term) JOIN d3_{i} USING({id_col})
+      CROSS JOIN stats_{i}
+      GROUP BY tf_{i}.{id_col}
+    )""")
+        unions.append(f"SELECT {id_col}, {w} * score AS wscore FROM scored_{i}")
+    tiemap = (
+        f"tiemap AS (SELECT {id_col}, {tie_sql} AS __tie FROM {table}),\n    "
+        if tie_sql
+        else ""
+    )
+    tie_join = " JOIN tiemap USING(" + id_col + ")" if tie_sql else ""
+    all_ctes = ",\n    ".join(ctes)
+    all_unions = "\n      UNION ALL\n      ".join(unions)
+    return f"""
+    WITH {all_ctes},
+    {tiemap}combined AS (
+      SELECT {id_col}, sum(wscore) AS score
+      FROM (
+      {all_unions}
+      )
+      GROUP BY {id_col}
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score
+    FROM combined{tie_join}
+    ORDER BY combined.score DESC, {tie} ASC
+    LIMIT {k}
+    """

@@ -1653,3 +1653,103 @@ class TestMergePolicy:
         meta = ix.maybe_compact(spark, d, tombstone_fraction=0.25)
         assert meta is not None and meta["n_docs"] == 30
         assert not os.path.exists(os.path.join(d, "tombstones"))
+
+
+class TestMultiField:
+    """MultiFieldSearch: weighted sum of per-field BM25 over per-field
+    indexes sharing doc identity (same doc_id → same shard)."""
+
+    @pytest.fixture(scope="class")
+    def path_index_dir(self, spark, small_corpus_pdf, tmp_path_factory):
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+
+        out = str(tmp_path_factory.mktemp("bm25pathidx"))
+        pdf = small_corpus_pdf.copy()
+        pdf["content"] = pdf["path"]
+        build_index(spark, spark.createDataFrame(pdf).repartition(3), out,
+                    IndexConfig(n_shards=4))
+        return out
+
+    def test_single_field_weight_one_equals_topk(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.multifield import MultiFieldSearch
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        mf = MultiFieldSearch(spark, {"content": idx})
+        a = mf.topk("import return def", 12).toPandas()
+        b = idx.topk("import return def", 12).toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"], atol=1e-12)
+
+    def test_weighted_sum_matches_python_oracle(
+        self, spark, small_corpus_pdf, bm25_index_dir, path_index_dir
+    ):
+        from koncorde_spark.fulltext.multifield import MultiFieldSearch
+        from koncorde_spark.fulltext.oracle import bm25_oracle_topk
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        w_path = 3.0
+        mf = MultiFieldSearch(
+            spark,
+            {"content": Bm25Index(spark, bm25_index_dir),
+             "path": Bm25Index(spark, path_index_dir)},
+            weights={"content": 1.0, "path": w_path},
+        )
+        q = "import src_00007 py"
+        got = mf.topk(q, 15).toPandas()
+
+        pdf_path = small_corpus_pdf.copy()
+        pdf_path["content"] = pdf_path["path"]
+        a = bm25_oracle_topk(small_corpus_pdf, q, 10_000)
+        bshort = bm25_oracle_topk(pdf_path, q, 10_000)
+        comb = (
+            pd.concat(
+                [a.assign(score=a["score"]),
+                 bshort.assign(score=w_path * bshort["score"])]
+            )
+            .groupby("doc_id", as_index=False)["score"].sum()
+            .sort_values(["score", "doc_id"], ascending=[False, True],
+                         kind="mergesort")
+            .head(15)
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == list(comb["doc_id"])
+        assert np.allclose(got["score"], comb["score"], atol=1e-9)
+
+    def test_zero_weight_drops_field(self, spark, bm25_index_dir, path_index_dir):
+        from koncorde_spark.fulltext.multifield import MultiFieldSearch
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        ci = Bm25Index(spark, bm25_index_dir)
+        mf = MultiFieldSearch(
+            spark,
+            {"content": ci, "path": Bm25Index(spark, path_index_dir)},
+            weights={"content": 1.0, "path": 0.0},
+        )
+        got = mf.topk("import return", 10).toPandas()
+        want = ci.topk("import return", 10).toPandas()
+        # zero-weighted field adds 0 to every score but can still ADMIT
+        # docs (path-only matches score 0.0) — the positive-score region
+        # must be identical
+        gp = got[got["score"] > 0]
+        assert list(gp["doc_id"]) == list(want["doc_id"][: len(gp)])
+        assert np.allclose(gp["score"], want["score"][: len(gp)], atol=1e-12)
+
+    def test_validation(self, spark, bm25_index_dir, tmp_path, small_corpus_pdf):
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+        from koncorde_spark.fulltext.multifield import MultiFieldSearch
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        other = str(tmp_path / "othershards")
+        build_index(spark, spark.createDataFrame(small_corpus_pdf), other,
+                    IndexConfig(n_shards=2), resume=False)
+        with pytest.raises(ValueError, match="n_shards"):
+            MultiFieldSearch(
+                spark,
+                {"a": Bm25Index(spark, bm25_index_dir),
+                 "b": Bm25Index(spark, other)},
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            MultiFieldSearch(spark, {})
+        mf = MultiFieldSearch(spark, {"a": Bm25Index(spark, bm25_index_dir)})
+        assert mf.topk("", 5).count() == 0
