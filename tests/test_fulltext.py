@@ -1011,17 +1011,6 @@ class TestTopkConjunctive:
             idx.topk("import", 5, mode="phrase-ish")
 
 
-@pytest.fixture(scope="session")
-def bm25_pos_index_dir(spark, small_corpus_pdf, tmp_path_factory):
-    """Positional twin of bm25_index_dir (same corpus, positions=True)."""
-    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
-
-    out = str(tmp_path_factory.mktemp("bm25posidx"))
-    corpus = spark.createDataFrame(small_corpus_pdf).repartition(4)
-    build_index(spark, corpus, out, IndexConfig(n_shards=4, positions=True))
-    return out
-
-
 class TestPhraseSearch:
     """Positional index + exact-phrase top-k (topk_phrase / serve.phrase):
     adjacency at consecutive token offsets, classic phrase-query scoring,

@@ -141,3 +141,35 @@ def test_pack_sequences_partitioned_no_single_partition_window(spark):
         sampling.pack_sequences(docs, capacity=512, n_partitions=None)
     )
     assert "SinglePartition" in gplan
+
+
+@pytest.mark.spark
+def test_positional_query_paths_push_term_filter(spark, bm25_pos_index_dir):
+    """phrase/proximity/highlight all prune the postings scan to the query
+    terms (PushedFilters: In(term, ...)) — the property that makes a
+    query touch O(query terms), not O(vocabulary), at 10^12-file scale."""
+    from koncorde_spark.fulltext.query import Bm25Index
+
+    idx = Bm25Index(spark, bm25_pos_index_dir)
+    for df in (
+        idx.topk_phrase("import return", 5),
+        idx.topk_phrase("import return", 5, slop=3),
+        idx.topk_highlight("import return", 5, window=10),
+    ):
+        plan = executed_plan(df)
+        assert re.search(r"PushedFilters: \[In\(term", plan), plan
+
+
+@pytest.mark.spark
+def test_multifield_plan_pushes_terms_per_field(spark, bm25_index_dir):
+    """The unioned multi-field postings scan keeps per-branch term
+    pushdown (one In(term,...) per field index) and ends in ONE global
+    sort-limit (TakeOrdered) — no cross-field candidate shuffle."""
+    from koncorde_spark.fulltext.multifield import MultiFieldSearch
+    from koncorde_spark.fulltext.query import Bm25Index
+
+    idx = Bm25Index(spark, bm25_index_dir)
+    mf = MultiFieldSearch(spark, {"a": idx, "b": idx})
+    plan = executed_plan(mf.topk("import return", 5))
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
