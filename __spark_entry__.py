@@ -23,6 +23,7 @@ from koncorde_spark.fulltext.brute import (
     bm25_brute_sql,
     bm25_brute_topk,
     bm25_fields_sql,
+    bm25_fuzzy_sql,
     bm25_highlight_sql,
     bm25_phrase_sql,
     bm25_prefix_sql,
@@ -360,6 +361,36 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = Bm25Index(spark, idx_dir)
     top = idx.topk_phrase(BM25_NEAR_PHRASE, BM25_K, slop=BM25_NEAR_SLOP)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+BM25_FUZZY_QUERY = "table sprak~ jion~"
+BM25_FUZZY_DIST = 2
+BM25_FUZZY_MAX_EXP = 4
+
+
+def _q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy search: each trailing-~ term expands to vocabulary terms
+    within 2 Levenshtein edits, closest-first then highest-df, capped at
+    4 (cap + both orderings exercised), then standard multi-term BM25.
+    Oracle: bm25_fuzzy_sql re-derives the expansion from corpus df with
+    DuckDB's levenshtein()."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_fuzzy(
+        BM25_FUZZY_QUERY, BM25_K,
+        max_distance=BM25_FUZZY_DIST, max_expansions=BM25_FUZZY_MAX_EXP,
+    )
     mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
         F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
         _round_away(F.col("score"), 6).alias("score"),
@@ -779,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _q_bm25_prefix,
         "bm25_highlight": _q_bm25_highlight,
         "bm25_fields": _q_bm25_fields,
+        "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -829,6 +861,13 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
+    _fz_lits = [t for t in BM25_FUZZY_QUERY.split() if not t.endswith("~")]
+    _fz_fz = [t[:-1] for t in BM25_FUZZY_QUERY.split() if t.endswith("~")]
+    bm25_fuzzy = bm25_fuzzy_sql(
+        "documents", _fz_lits, _fz_fz, BM25_K,
+        max_distance=BM25_FUZZY_DIST, max_expansions=BM25_FUZZY_MAX_EXP,
+        tie_sql=internal_id,
     )
     bm25_fields = bm25_fields_sql(
         "documents",
@@ -922,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix": bm25_prefix,
         "bm25_highlight": bm25_highlight,
         "bm25_fields": bm25_fields,
+        "bm25_fuzzy": bm25_fuzzy,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

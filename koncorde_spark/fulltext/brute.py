@@ -489,3 +489,90 @@ def bm25_fields_sql(
     ORDER BY combined.score DESC, {tie} ASC
     LIMIT {k}
     """
+
+
+def bm25_fuzzy_sql(
+    table: str,
+    literal_terms: list[str],
+    fuzzy_terms: list[str],
+    k: int = 10,
+    max_distance: int = 1,
+    max_expansions: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of Bm25Index.topk_fuzzy / LocalSearcher.topk_fuzzy.
+
+    Each fuzzy term expands to corpus terms within ``max_distance``
+    Levenshtein edits, ordered (distance ASC, df DESC, term ASC) and
+    capped at ``max_expansions`` — the exact expand_fuzzy contract, with
+    df derived from the same corpus the index indexed. The union of
+    literals + expansions dedups and scores as standard brute BM25.
+
+    Expansion needs df for EVERY candidate term, so this oracle derives
+    the full vocabulary df (one unnest + group-by over the corpus) —
+    fine at oracle scale; the engine reads it from the terms parquet."""
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    lit_values = (
+        "SELECT * FROM (VALUES " + ", ".join(f"({q(t)})" for t in literal_terms) + ")"
+        if literal_terms
+        else "SELECT term FROM vocab WHERE FALSE"
+    )
+    expand_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT term FROM (SELECT term FROM vocab "
+        f"WHERE levenshtein(term, {q(t)}) <= {max_distance} "
+        f"ORDER BY levenshtein(term, {q(t)}) ASC, df DESC, term ASC "
+        f"LIMIT {max_expansions})"
+        for t in fuzzy_terms
+    ) or "SELECT term FROM vocab WHERE FALSE"
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    tie_group = ", d3.__tie" if tie_sql else ""
+    order_score = "scored.score" if tie_sql else "score"
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col}{tie_proj},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    vocab AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT {id_col}, unnest(toks) AS term FROM d3)
+      GROUP BY term
+    ),
+    qterms AS (
+      SELECT DISTINCT term FROM (
+      {expand_selects}
+      UNION ALL
+      {lit_values}
+      )
+    ),
+    tf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      JOIN qterms USING(term)
+      GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT vocab.term, vocab.df FROM vocab JOIN qterms USING(term)),
+    scored AS (
+      SELECT tf.{id_col}{tie_group},
+             sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
+      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
+      GROUP BY tf.{id_col}{tie_group}
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score
+    FROM scored
+    ORDER BY {order_score} DESC, {tie} ASC
+    LIMIT {k}
+    """

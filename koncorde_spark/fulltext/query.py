@@ -359,6 +359,62 @@ class Bm25Index:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk(" ".join(terms), k, mode=mode)
 
+    def expand_fuzzy(
+        self, term: str, max_distance: int = 1, max_expansions: int = 50
+    ) -> list[str]:
+        """Vocabulary terms within ``max_distance`` edits of ``term``
+        (Levenshtein), ordered closest-first then highest-df (ties by
+        ascending term), capped at ``max_expansions`` — the Lucene
+        FuzzyQuery rewrite contract. One job scanning the cached terms
+        table with a JVM-side levenshtein + length pre-filter (|len
+        difference| > d can never match); no vocabulary leaves the JVM
+        except the capped result."""
+        lit = F.lit(term)
+        rows = (
+            self.terms.where(
+                (F.length("term") >= len(term) - max_distance)
+                & (F.length("term") <= len(term) + max_distance)
+            )
+            .withColumn("__dist", F.levenshtein(F.col("term"), lit))
+            .where(F.col("__dist") <= max_distance)
+            .orderBy(F.asc("__dist"), F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def topk_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        max_distance: int = 1,
+        max_expansions: int = 50,
+        mode: str = "any",
+    ) -> DataFrame:
+        """Top-k for a query mixing literal terms and trailing-~ fuzzy
+        terms ("import ideny~"): each fuzzy term expands per
+        expand_fuzzy and the union of literals + expansions is scored as
+        a standard multi-term BM25 (delegates to topk — the same
+        discipline as topk_prefix)."""
+        literals, expanded = [], []
+        for tok in query.split():
+            if tok.endswith("~") and len(tok) > 1:
+                base = tok[:-1].lower()
+                if not _PREFIX_RE.fullmatch(base):
+                    raise ValueError(
+                        f"invalid fuzzy term {tok!r}: the part before '~' "
+                        "must be a single token ([a-z0-9_]+)"
+                    )
+                expanded.extend(
+                    self.expand_fuzzy(base, max_distance, max_expansions)
+                )
+            else:
+                literals.extend(tokenize_text(tok))
+        terms = sorted(set(literals) | set(expanded))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(" ".join(terms), k, mode=mode)
+
     def topk_filtered(self, query: str, filters: dict, k: int = 10) -> DataFrame:
         """BM25 top-k restricted to docs whose METADATA matches a koncorde
         filter — search-within-a-slice (repo / path / commit / lang /

@@ -26,6 +26,33 @@ from .tokenizer import tokenize_text
 from .wand import TermPostings, bm25_idf, topk_block_max_wand, topk_conjunctive
 
 
+def _levenshtein_capped(a: str, b: str, cap: int) -> int | None:
+    """Edit distance if ≤ cap, else None (banded DP with row cutoff) —
+    agrees with Spark's F.levenshtein / DuckDB's levenshtein() on every
+    pair (fuzz-pinned in tests)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            if cur[j] < best:
+                best = cur[j]
+        if best > cap:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= cap else None
+
+
 def _local_tombstones(index_dir: str) -> "np.ndarray":
     path = os.path.join(index_dir, "tombstones")
     if not os.path.exists(path):
@@ -194,6 +221,55 @@ class LocalSearcher:
             )
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
+
+    def expand_fuzzy(
+        self, term: str, max_distance: int = 1, max_expansions: int = 50
+    ) -> list[str]:
+        """Vocabulary terms within ``max_distance`` edits, (distance ASC,
+        df DESC, term ASC) capped — same contract as
+        Bm25Index.expand_fuzzy (in-memory scan with a length pre-filter
+        and a row-cutoff Levenshtein DP)."""
+        hits = []
+        n = len(term)
+        for t, df in self._df.items():
+            if abs(len(t) - n) > max_distance:
+                continue
+            d = _levenshtein_capped(term, t, max_distance)
+            if d is not None:
+                hits.append((d, -df, t))
+        hits.sort()
+        return [t for _, _, t in hits[:max_expansions]]
+
+    def topk_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        max_distance: int = 1,
+        max_expansions: int = 50,
+        mode: str = "any",
+    ) -> list[tuple[int, float]]:
+        """Fuzzy top-k, rank-identical to Bm25Index.topk_fuzzy (same
+        expansion contract, then the shared topk path)."""
+        from .query import _PREFIX_RE
+
+        literals, expanded = [], []
+        for tok in query.split():
+            if tok.endswith("~") and len(tok) > 1:
+                base = tok[:-1].lower()
+                if not _PREFIX_RE.fullmatch(base):
+                    raise ValueError(
+                        f"invalid fuzzy term {tok!r}: the part before '~' "
+                        "must be a single token ([a-z0-9_]+)"
+                    )
+                expanded.extend(
+                    self.expand_fuzzy(base, max_distance, max_expansions)
+                )
+            else:
+                literals.extend(tokenize_text(tok))
+        terms = sorted(set(literals) | set(expanded))
+        if not terms:
+            return []
+        return self.topk(" ".join(terms), k, mode=mode)
 
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Vocabulary terms starting with ``prefix``, (df DESC, term ASC)

@@ -1742,3 +1742,79 @@ class TestMultiField:
             MultiFieldSearch(spark, {})
         mf = MultiFieldSearch(spark, {"a": Bm25Index(spark, bm25_index_dir)})
         assert mf.topk("", 5).count() == 0
+
+
+class TestFuzzySearch:
+    """Fuzzy (edit-distance) queries: deterministic (distance ASC, df
+    DESC, term ASC) capped expansion, then standard multi-term BM25."""
+
+    def test_levenshtein_three_way_parity(self, spark):
+        """The serve tier's capped DP must agree with Spark's
+        F.levenshtein AND DuckDB's levenshtein on random pairs — the
+        expansion contract depends on all three being one function."""
+        import random
+
+        import duckdb
+
+        from koncorde_spark.fulltext.serve import _levenshtein_capped
+
+        rng = random.Random(17)
+        alpha = "abcd_01"
+        pairs = [
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8))),
+            )
+            for _ in range(120)
+        ]
+        from pyspark.sql import functions as SF
+
+        pdf = pd.DataFrame(pairs, columns=["a", "b"])
+        sdf = spark.createDataFrame(pdf).select(
+            SF.levenshtein("a", "b").alias("d")
+        ).toPandas()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        ddf = con.execute("SELECT levenshtein(a, b) AS d FROM t").fetchdf()
+        for (a, b), ds_, dd in zip(pairs, sdf["d"], ddf["d"]):
+            assert int(ds_) == int(dd), (a, b)
+            got = _levenshtein_capped(a, b, 8)
+            assert got == int(ds_), (a, b, got, ds_)
+            capped = _levenshtein_capped(a, b, 1)
+            assert capped == (int(ds_) if int(ds_) <= 1 else None), (a, b)
+
+    def test_expansion_contract(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        searcher = LocalSearcher(bm25_index_dir)
+        for term, d, n in (("improt", 2, 5), ("retrn", 1, 3), ("def", 1, 10)):
+            a = idx.expand_fuzzy(term, d, n)
+            bex = searcher.expand_fuzzy(term, d, n)
+            assert a == bex, (term, d, n)
+        assert idx.expand_fuzzy("zzzzzzzz", 1, 5) == []
+
+    def test_topk_fuzzy_equals_expanded_topk_and_serve(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        expanded = idx.expand_fuzzy("improt", 2, 5)
+        assert "import" in expanded
+        manual = idx.topk(" ".join(sorted({"def", *expanded})), 12).toPandas()
+        got = idx.topk_fuzzy("def improt~", 12, max_distance=2,
+                             max_expansions=5).toPandas()
+        assert list(got["doc_id"]) == list(manual["doc_id"])
+        assert np.allclose(got["score"], manual["score"], atol=0)
+        local = LocalSearcher(bm25_index_dir).topk_fuzzy(
+            "def improt~", 12, max_distance=2, max_expansions=5
+        )
+        assert [int(x) for x in got["doc_id"]] == [i for i, _ in local]
+        assert np.allclose(got["score"], [s for _, s in local], atol=1e-12)
+
+    def test_invalid_fuzzy_raises(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        with pytest.raises(ValueError, match="single token"):
+            Bm25Index(spark, bm25_index_dir).topk_fuzzy("a.b~", 5)
