@@ -20,6 +20,7 @@ from koncorde_spark.engine.to_sql import percolation_oracle_sql
 from koncorde_spark.geo.oracle import geo_percolation_oracle_sql
 from koncorde_spark.spark.percolate import percolate
 from koncorde_spark.fulltext.brute import (
+    bm25_boolean_sql,
     bm25_brute_sql,
     bm25_brute_topk,
     bm25_fields_sql,
@@ -361,6 +362,38 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = Bm25Index(spark, idx_dir)
     top = idx.topk_phrase(BM25_NEAR_PHRASE, BM25_K, slop=BM25_NEAR_SLOP)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+BM25_BOOL = {
+    "must": ["spark"],
+    "should": ["merge", "sort"],
+    "must_not": ["batch"],
+    "boosts": {"spark": 1.5},
+}
+
+
+def _q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured boolean search: docs MUST contain spark, MUST NOT
+    contain batch, scored over spark(×1.5 boost)+merge+sort. Oracle:
+    bm25_boolean_sql gates the same brute scores with a HAVING-all-must
+    join and an anti-join on the exclusion set."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = idx.topk_boolean(
+        must=BM25_BOOL["must"], should=BM25_BOOL["should"],
+        must_not=BM25_BOOL["must_not"], boosts=BM25_BOOL["boosts"], k=BM25_K,
+    )
     mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
         F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
         _round_away(F.col("score"), 6).alias("score"),
@@ -811,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_highlight": _q_bm25_highlight,
         "bm25_fields": _q_bm25_fields,
         "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_boolean": _q_bm25_boolean,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -861,6 +895,11 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
+    bm25_boolean = bm25_boolean_sql(
+        "documents", BM25_BOOL["must"], BM25_BOOL["should"],
+        BM25_BOOL["must_not"], BM25_BOOL["boosts"], BM25_K,
+        tie_sql=internal_id,
     )
     _fz_lits = [t for t in BM25_FUZZY_QUERY.split() if not t.endswith("~")]
     _fz_fz = [t[:-1] for t in BM25_FUZZY_QUERY.split() if t.endswith("~")]
@@ -962,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_highlight": bm25_highlight,
         "bm25_fields": bm25_fields,
         "bm25_fuzzy": bm25_fuzzy,
+        "bm25_boolean": bm25_boolean,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

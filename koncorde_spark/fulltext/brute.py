@@ -576,3 +576,83 @@ def bm25_fuzzy_sql(
     ORDER BY {order_score} DESC, {tie} ASC
     LIMIT {k}
     """
+
+
+def bm25_boolean_sql(
+    table: str,
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of Bm25Index.topk_boolean / LocalSearcher.topk_boolean.
+
+    Eligible docs contain every ``must`` term and none of ``must_not``;
+    the score is the boost-scaled BM25 sum over must ∪ should."""
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    score_terms = sorted(set(must) | set(should))
+    boosts_ = {t: float((boosts or {}).get(t, 1.0)) for t in score_terms}
+    terms = ", ".join(q(t) for t in score_terms)
+    boost_vals = ", ".join(f"({q(t)}, {boosts_[t]})" for t in score_terms)
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    tie_group = ", d3.__tie" if tie_sql else ""
+    order_score = "scored.score" if tie_sql else "score"
+    must_gate = ""
+    if must:
+        must_terms = ", ".join(q(t) for t in sorted(set(must)))
+        must_gate = (
+            f"JOIN (SELECT {id_col} FROM tf WHERE term IN ({must_terms}) "
+            f"GROUP BY {id_col} "
+            f"HAVING count(DISTINCT term) = {len(set(must))}) mg USING({id_col})\n      "
+        )
+    not_gate = ""
+    if must_not:
+        not_terms = ", ".join(q(t) for t in sorted(set(must_not)))
+        not_gate = (
+            f"ANTI JOIN (SELECT DISTINCT {id_col} "
+            f"FROM (SELECT {id_col}, unnest(toks) AS term FROM d3) "
+            f"WHERE term IN ({not_terms})) nd USING({id_col})\n      "
+        )
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col}{tie_proj},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    tf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      WHERE term IN ({terms})
+      GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bq(term, boost) AS (VALUES {boost_vals}),
+    scored AS (
+      SELECT tf.{id_col}{tie_group},
+             sum(bq.boost
+                 * ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
+      FROM tf JOIN dfreq USING(term) JOIN bq USING(term)
+      JOIN d3 USING({id_col})
+      {must_gate}{not_gate}CROSS JOIN stats
+      GROUP BY tf.{id_col}{tie_group}
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score
+    FROM scored
+    ORDER BY {order_score} DESC, {tie} ASC
+    LIMIT {k}
+    """

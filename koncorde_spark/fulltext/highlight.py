@@ -129,3 +129,46 @@ def highlight_topk_shard(
     sel, sel_scores = cand[order], scores[order]
     snip_start, snip_hits = best_windows(per_term, sel, window)
     return sel, sel_scores, snip_start, snip_hits
+
+
+def boolean_topk_shard(
+    must: list[list[TermOccurrences]],
+    score_terms: list[TermOccurrences],
+    score_idfs: list[float],
+    must_not: list[TermOccurrences],
+    k1: float,
+    b: float,
+    avgdl: float,
+    dl_ids: np.ndarray,
+    dl_vals: np.ndarray,
+    k: int,
+    tombstones: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-shard boolean top-k (Lucene BooleanQuery semantics): eligible
+    docs contain EVERY ``must`` term group and NO ``must_not`` term;
+    the score is the (boost-scaled) idf·tf-part sum over ``score_terms``
+    (must ∪ should — pass boosts pre-multiplied into ``score_idfs``).
+    ``must`` entries group segments per required term: each inner list
+    holds the doc-disjoint segment rows of ONE term."""
+    cand, scores = multiterm_scores(
+        score_terms, score_idfs, k1, b, avgdl, dl_ids, dl_vals, tombstones
+    )
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    eligible = np.ones(len(cand), dtype=bool)
+    for segs in must:
+        has = np.zeros(len(cand), dtype=bool)
+        for t in segs:
+            at = np.searchsorted(cand, t.doc_ids)
+            live = cand[np.minimum(at, len(cand) - 1)] == t.doc_ids
+            has[at[live]] = True
+        eligible &= has
+    for t in must_not:
+        at = np.searchsorted(cand, t.doc_ids)
+        live = cand[np.minimum(at, len(cand) - 1)] == t.doc_ids
+        eligible[at[live]] = False
+    if not eligible.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand, scores = cand[eligible], scores[eligible]
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]

@@ -665,6 +665,97 @@ class Bm25Index:
         )
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def topk_boolean(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        boosts: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Structured boolean top-k (Lucene BooleanQuery semantics):
+        eligible docs contain EVERY must term and NO must_not term; the
+        score is the boost-scaled BM25 sum over must ∪ should terms
+        (must_not never contributes). Clause entries are tokenized, so
+        multi-word strings flatten into their terms; ``boosts`` keys are
+        canonical tokens. One pruned postings scan over all three term
+        sets, per-shard exact evaluation (highlight.boolean_topk_shard),
+        global sort-limit."""
+        must_t = sorted({t for s in (must or []) for t in tokenize_text(s)})
+        should_t = sorted({t for s in (should or []) for t in tokenize_text(s)})
+        not_t = sorted({t for s in (must_not or []) for t in tokenize_text(s)})
+        score_t = sorted(set(must_t) | set(should_t))
+        if not score_t:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfs = self._df_for(sorted(set(score_t) | set(not_t)))
+        if any(t not in dfs for t in must_t):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        score_present = [t for t in score_t if t in dfs]
+        if not score_present:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b = meta["k1"], meta["b"]
+        boosts_ = {t: float((boosts or {}).get(t, 1.0)) for t in score_present}
+        idf_by_term = {
+            t: boosts_[t] * float(bm25_idf(n_docs, dfs[t])) for t in score_present
+        }
+        scan_terms = sorted(set(score_present) | {t for t in not_t if t in dfs})
+
+        must_b, score_b, not_b = list(must_t), list(score_present), list(not_t)
+        k_, k1_, b_, avgdl_ = k, k1, b, avgdl
+        tomb = self.tombstones
+        cctx = self._cache_ctx
+
+        from .highlight import boolean_topk_shard
+        from .phrase import TermOccurrences as _TO
+
+        def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64")})
+            if len(post_pdf) == 0 or len(pack_pdf) == 0:
+                return empty
+            by_term: dict[str, list] = {}
+            for _, row in post_pdf.iterrows():
+                n = int(row["df"])
+                ids = delta_decode(bytes(row["doc_ids"]), n).astype(np.int64)
+                tfs = varint_decode(bytes(row["tfs"]), n).astype(np.int64)
+                occ_off = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+                by_term.setdefault(row["term"], []).append(
+                    _TO(ids, occ_off, np.empty(0, dtype=np.int64))
+                )
+            if any(t not in by_term for t in must_b):
+                return empty  # a required term absent from this shard
+            cache_key = None
+            if cctx is not None:
+                index_dir, lineages = cctx
+                shard = int(pack_pdf.iloc[0]["shard"])
+                if shard in lineages:
+                    cache_key = (index_dir, shard, lineages[shard])
+            dl_ids, dl_vals = _decode_dlpack(pack_pdf, cache_key)
+            score_terms, score_idfs = [], []
+            for t in score_b:
+                for seg in by_term.get(t, []):
+                    score_terms.append(seg)
+                    score_idfs.append(idf_by_term[t])
+            ids, scores = boolean_topk_shard(
+                [by_term[t] for t in must_b],
+                score_terms, score_idfs,
+                [seg for t in not_b for seg in by_term.get(t, [])],
+                k1_, b_, avgdl_, dl_ids, dl_vals, k_, tomb,
+            )
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        relevant = self.postings.where(F.col("term").isin(scan_terms)).select(
+            "term", "shard", "df", "doc_ids", "tfs"
+        )
+        per_shard = (
+            relevant.groupBy("shard")
+            .cogroup(self.dlpack.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
+        )
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def topk_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Top-k per query for a BATCH of queries in ONE Spark job.
 

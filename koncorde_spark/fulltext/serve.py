@@ -222,6 +222,75 @@ class LocalSearcher:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
+    def topk_boolean(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        boosts: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Structured boolean top-k — rank-identical to
+        Bm25Index.topk_boolean by the shared kernel
+        (highlight.boolean_topk_shard)."""
+        from .highlight import boolean_topk_shard
+        from .phrase import TermOccurrences as _TO
+
+        must_t = sorted({t for s in (must or []) for t in tokenize_text(s)})
+        should_t = sorted({t for s in (should or []) for t in tokenize_text(s)})
+        not_t = sorted({t for s in (must_not or []) for t in tokenize_text(s)})
+        score_t = sorted(set(must_t) | set(should_t))
+        if not score_t:
+            return []
+        if any(t not in self._df for t in must_t):
+            return []
+        score_present = [t for t in score_t if t in self._df]
+        if not score_present:
+            return []
+        n_docs = self.meta["n_docs"]
+        k1, b, avgdl = self.meta["k1"], self.meta["b"], self.meta["avgdl"]
+        boosts_ = {t: float((boosts or {}).get(t, 1.0)) for t in score_present}
+        idf = {
+            t: boosts_[t] * float(bm25_idf(n_docs, self._df[t]))
+            for t in score_present
+        }
+        scan = sorted(set(score_present) | {t for t in not_t if t in self._df})
+
+        tbl = self._postings.to_table(
+            filter=ds.field("term").isin(scan),
+            columns=["term", "shard", "df", "doc_ids", "tfs"],
+        )
+        by_shard: dict[int, dict[str, list]] = {}
+        for i in range(tbl.num_rows):
+            shard = int(tbl["shard"][i].as_py())
+            n = int(tbl["df"][i].as_py())
+            ids = delta_decode(bytes(tbl["doc_ids"][i].as_py()), n).astype(np.int64)
+            tfs = varint_decode(bytes(tbl["tfs"][i].as_py()), n).astype(np.int64)
+            occ_off = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+            by_shard.setdefault(shard, {}).setdefault(
+                tbl["term"][i].as_py(), []
+            ).append(_TO(ids, occ_off, np.empty(0, dtype=np.int64)))
+
+        rows: list[tuple[int, float]] = []
+        for shard, by_term in by_shard.items():
+            if any(t not in by_term for t in must_t):
+                continue
+            score_terms, score_idfs = [], []
+            for t in score_present:
+                for seg in by_term.get(t, []):
+                    score_terms.append(seg)
+                    score_idfs.append(idf[t])
+            dl_ids, dl_vals = self._dl[shard]
+            ids, scores = boolean_topk_shard(
+                [by_term[t] for t in must_t],
+                score_terms, score_idfs,
+                [seg for t in not_t for seg in by_term.get(t, [])],
+                k1, b, avgdl, dl_ids, dl_vals, k, self._tombstones,
+            )
+            rows.extend((int(i), float(s)) for i, s in zip(ids, scores))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
     def expand_fuzzy(
         self, term: str, max_distance: int = 1, max_expansions: int = 50
     ) -> list[str]:

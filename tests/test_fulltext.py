@@ -1818,3 +1818,86 @@ class TestFuzzySearch:
 
         with pytest.raises(ValueError, match="single token"):
             Bm25Index(spark, bm25_index_dir).topk_fuzzy("a.b~", 5)
+
+
+class TestBooleanSearch:
+    """topk_boolean: must/should/must_not with per-term boosts (Lucene
+    BooleanQuery semantics over the shared per-shard kernel)."""
+
+    def test_must_only_equals_conjunctive(self, spark, bm25_index_dir):
+        """must=[terms], no should/not/boosts ≡ topk(mode='all')."""
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        a = idx.topk_boolean(must=["import return"], k=12).toPandas()
+        b = idx.topk("import return", 12, mode="all").toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"], atol=1e-12)
+
+    def test_should_only_equals_topk(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        a = idx.topk_boolean(should=["import", "return"], k=12).toPandas()
+        b = idx.topk("import return", 12).toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"], atol=1e-12)
+
+    def test_must_not_excludes_and_boost_scales(self, spark, small_corpus_pdf, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.indexer import doc_id_of
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        got = idx.topk_boolean(
+            must=["import"], should=["return"], must_not=["ident_00042"],
+            boosts={"import": 2.0}, k=10_000,
+        ).toPandas()
+        # no result doc contains the excluded term; every one has 'import'
+        from koncorde_spark.fulltext.tokenizer import tokenize_text as tok
+
+        by_id = {
+            doc_id_of(r, p, c): tok(txt)
+            for r, p, c, txt in zip(
+                small_corpus_pdf["repo"], small_corpus_pdf["path"],
+                small_corpus_pdf["commit"], small_corpus_pdf["content"],
+            )
+        }
+        assert len(got) > 0
+        for d in got["doc_id"]:
+            toks = by_id[int(d)]
+            assert "import" in toks and "ident_00042" not in toks
+        # the exclusion actually bit: some import-docs DO contain it
+        assert len(got) < sum(1 for t in by_id.values() if "import" in t)
+        # doubling the boost on a single-term query exactly doubles scores
+        s1 = idx.topk_boolean(should=["import"], k=15).toPandas()
+        s2 = idx.topk_boolean(should=["import"], boosts={"import": 2.0}, k=15).toPandas()
+        assert list(s1["doc_id"]) == list(s2["doc_id"])
+        assert np.allclose(2.0 * s1["score"], s2["score"], atol=1e-12)
+
+    def test_serve_parity_and_edge_cases(self, spark, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        searcher = LocalSearcher(bm25_index_dir)
+        dist = [
+            (int(r.doc_id), round(float(r.score), 12))
+            for r in idx.topk_boolean(
+                must=["import"], should=["return", "def"], must_not=["class"],
+                boosts={"return": 3.0}, k=10,
+            ).toPandas().itertuples()
+        ]
+        local = [
+            (d, round(s, 12))
+            for d, s in searcher.topk_boolean(
+                must=["import"], should=["return", "def"], must_not=["class"],
+                boosts={"return": 3.0}, k=10,
+            )
+        ]
+        assert dist == local
+        # must term absent from vocabulary → empty; no score terms → empty
+        assert idx.topk_boolean(must=["zz_nope"], should=["import"], k=5).count() == 0
+        assert searcher.topk_boolean(must=["zz_nope"], should=["import"], k=5) == []
+        assert idx.topk_boolean(must_not=["import"], k=5).count() == 0
+        # must ∩ must_not → contradiction → empty
+        assert idx.topk_boolean(must=["import"], must_not=["import"], k=5).count() == 0
