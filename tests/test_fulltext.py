@@ -1901,3 +1901,68 @@ class TestBooleanSearch:
         assert idx.topk_boolean(must_not=["import"], k=5).count() == 0
         # must ∩ must_not → contradiction → empty
         assert idx.topk_boolean(must=["import"], must_not=["import"], k=5).count() == 0
+
+    def test_kernel_fuzz_vs_brute(self):
+        """Boolean kernel vs per-doc python brute over random corpora:
+        eligibility gates (all-must, none-of-must_not) and boosted score
+        sums must agree exactly."""
+        import random
+
+        from koncorde_spark.fulltext.highlight import boolean_topk_shard
+
+        rng = random.Random(23)
+        vocab = list("abcdef")
+        occ = TestProximitySearch._occ
+
+        for trial in range(200):
+            docs = {
+                i: [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+                for i in range(rng.randint(1, 9))
+            }
+            must = sorted(set(rng.sample(vocab, rng.randint(0, 2))))
+            should = sorted(set(rng.sample(vocab, rng.randint(0, 2))) - set(must))
+            must_not = sorted(
+                set(rng.sample(vocab, rng.randint(0, 2))) - set(must) - set(should)
+            )
+            score_terms = sorted(set(must) | set(should))
+            if not score_terms:
+                continue
+            boosts = {t: rng.choice([0.5, 1.0, 2.0]) for t in score_terms}
+            per = {t: occ(self, docs, t) for t in set(score_terms + must_not)}
+            if any(len(per[t].doc_ids) == 0 for t in must):
+                continue
+            dl_ids = np.array(sorted(docs), np.int64)
+            dl_vals = np.array([len(docs[d]) for d in sorted(docs)], np.float64)
+            k1, b, avgdl = 1.2, 0.75, 9.0
+            idfs = {t: 0.5 + 0.1 * i for i, t in enumerate(score_terms)}
+            st, si = [], []
+            for t in score_terms:
+                if len(per[t].doc_ids):
+                    st.append(per[t])
+                    si.append(boosts[t] * idfs[t])
+            ids, scores = boolean_topk_shard(
+                [[per[t]] for t in must], st, si,
+                [per[t] for t in must_not if len(per[t].doc_ids)],
+                k1, b, avgdl, dl_ids, dl_vals, 1000,
+            )
+            exp = {}
+            for d, toks in docs.items():
+                if any(t not in toks for t in must):
+                    continue
+                if any(t in toks for t in must_not):
+                    continue
+                s = 0.0
+                for t in score_terms:
+                    tf = toks.count(t)
+                    if tf:
+                        dl = len(toks)
+                        s += (
+                            boosts[t] * idfs[t] * tf * (k1 + 1)
+                            / (tf + k1 * (1 - b + b * dl / avgdl))
+                        )
+                if s > 0:
+                    exp[d] = s
+            got = dict(zip(ids.tolist(), scores.tolist()))
+            assert set(got) == set(exp), (trial, must, should, must_not)
+            for d in exp:
+                assert abs(got[d] - exp[d]) < 1e-12, (trial, d)
