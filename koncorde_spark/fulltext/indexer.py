@@ -699,6 +699,12 @@ def build_index(
             F.sum("df").alias("df")
         ).write.mode("overwrite").parquet(terms_path)
     metrics["terms_sec"] = time.time() - t0
+    # stats commit stamp: fresh or rebuilt terms get a new version; a
+    # resume that kept the existing terms re-records its current stamp
+    # (meta is rewritten below either way — the pair must stay matched)
+    stats_v = read_stats_version(out_dir)
+    if missing or stats_v is None:
+        stats_v = _stamp_stats_version(terms_path)
     # vocabulary size recorded in meta so the query tier can decide its
     # driver-side-terms-cache policy without firing a count() job on the
     # first query (VERDICT r2 nit)
@@ -714,6 +720,7 @@ def build_index(
         "block_size": config.block_size,
         "positions": config.positions,
         "config": fp,
+        "stats_version": stats_v,
         "metrics": metrics,
     }
     fs.mkdirs(out_dir)
@@ -749,6 +756,43 @@ def docs_lineage_xor(out_dir: str, shard: int, fp: str) -> int:
 
 def read_meta(out_dir: str) -> dict:
     return fs.read_json(os.path.join(out_dir, "meta.json"))
+
+
+# The terms parquet and meta.json together define the scoring statistics
+# (idf = f(terms.df, meta.n_docs); tf-part = f(meta.avgdl)). They are
+# committed by two separate writes, so a crash between the terms swap and
+# the meta write would otherwise leave MIXED stats that no lineage check
+# catches (silently wrong scores). Every stats commit therefore stamps a
+# random version into the terms dir (underscore-prefixed: ignored by
+# Spark, pyarrow and DuckDB parquet discovery) and into meta.json; query
+# tiers refuse to open when the two disagree.
+STATS_VERSION_FILE = "_STATS_VERSION.json"
+
+
+def _stamp_stats_version(terms_dir: str) -> str:
+    v = hashlib.sha256(os.urandom(16)).hexdigest()[:16]
+    fs.write_json(os.path.join(terms_dir, STATS_VERSION_FILE), {"v": v})
+    return v
+
+
+def read_stats_version(out_dir: str) -> str | None:
+    p = os.path.join(out_dir, "terms", STATS_VERSION_FILE)
+    return fs.read_json(p).get("v") if fs.exists(p) else None
+
+
+def check_stats_consistency(out_dir: str, meta: dict) -> None:
+    """Raise if the terms table and meta.json come from different stats
+    commits (crash between the two writes). Pre-stamp indexes (either
+    side missing) pass — the check only bites where both stamps exist."""
+    tv = read_stats_version(out_dir)
+    mv = meta.get("stats_version")
+    if tv is not None and mv is not None and tv != mv:
+        raise RuntimeError(
+            f"index at {out_dir}: terms stats version {tv} does not match "
+            f"meta.json ({mv}) — an append/compaction crashed between the "
+            "terms swap and the meta commit; run compact_index(spark, "
+            "out_dir) to rebuild consistent statistics from the postings"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1019,10 +1063,14 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
     terms_staging = terms_path + "__staging"
     fs.delete(terms_staging)
     merged_terms.write.mode("overwrite").parquet(terms_staging)
+    # stamp + count BEFORE the swap so the swap→meta gap is detectable
+    # (check_stats_consistency) rather than silently mixing old n_docs
+    # with new df
+    stats_v = _stamp_stats_version(terms_staging)
+    n_terms = _parquet_count_rows(spark, terms_staging)
     fs.delete(terms_path)
     fs.rename(terms_staging, terms_path)
     spark.catalog.refreshByPath(terms_path)
-    n_terms = _parquet_count_rows(spark, terms_path)
     metrics["terms_sec"] = time.time() - t0
 
     meta = dict(meta)
@@ -1031,6 +1079,7 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
             "n_docs": n_docs,
             "n_terms": n_terms,
             "avgdl": avgdl,
+            "stats_version": stats_v,
             "metrics": metrics,
             "appends": meta.get("appends", []) + [{"n_new": n_new, "at": time.time()}],
         }
@@ -1476,31 +1525,39 @@ def compact_index(
     metrics["postings_sec"] = time.time() - t0
 
     # -- stage 4: term stats + meta + tombstone drop -----------------------
+    # Commit order: stamp staging → swap terms → write meta (same stamp) →
+    # drop tombstones. A crash before the swap leaves the consistent
+    # pre-compaction statistics; a crash in the swap→meta gap is DETECTED
+    # at open time (check_stats_consistency) with a re-run hint; the
+    # tombstone drop comes last because stale tombstone ids over compacted
+    # postings filter nothing and are harmless.
     t0 = time.time()
     staging = terms_path + "__staging"
     fs.delete(staging)
     postings.groupBy("term").agg(F.sum("df").alias("df")).write.mode(
         "overwrite"
     ).parquet(staging)
+    stats_v = _stamp_stats_version(staging)
+    n_terms = _parquet_count_rows(spark, staging)
     fs.delete(terms_path)
     fs.rename(staging, terms_path)
     spark.catalog.refreshByPath(terms_path)
-    n_terms = _parquet_count_rows(spark, terms_path)
     metrics["terms_sec"] = time.time() - t0
 
-    fs.delete(tombstones_path)
     meta = dict(meta)
     meta.update(
         {
             "n_docs": n_docs,
             "n_terms": n_terms,
             "avgdl": avgdl,
+            "stats_version": stats_v,
             "metrics": metrics,
             "compactions": meta.get("compactions", [])
             + [{"dropped": int(len(tombs)), "at": time.time()}],
         }
     )
     fs.write_json(os.path.join(out_dir, "meta.json"), meta)
+    fs.delete(tombstones_path)
     return meta
 
 

@@ -81,6 +81,26 @@ _DLPACK_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 _DLPACK_CACHE_MAX = 64
 
 
+def parse_expansion_query(query: str, marker: str, kind: str, expand) -> list[str]:
+    """Sorted deduped term set for a query mixing literal tokens with
+    trailing-``marker`` expansion terms — THE shared grammar of
+    topk_prefix/topk_fuzzy on both tiers (one implementation so the two
+    tiers can never drift on what they accept)."""
+    literals, expanded = [], []
+    for tok in query.split():
+        if tok.endswith(marker) and len(tok) > 1:
+            base = tok[:-1].lower()
+            if not _PREFIX_RE.fullmatch(base):
+                raise ValueError(
+                    f"invalid {kind} {tok!r}: the part before {marker!r} must "
+                    "be a single token ([a-z0-9_]+)"
+                )
+            expanded.extend(expand(base))
+        else:
+            literals.extend(tokenize_text(tok))
+    return sorted(set(literals) | set(expanded))
+
+
 def _decode_dlpack(
     pack_pdf: pd.DataFrame, cache_key: tuple | None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -95,6 +115,22 @@ def _decode_dlpack(
             _DLPACK_CACHE.pop(next(iter(_DLPACK_CACHE)))
         _DLPACK_CACHE[cache_key] = (dl_ids, dl_vals)
     return dl_ids, dl_vals
+
+
+def _decode_dlpack_ctx(
+    pack_pdf: pd.DataFrame, cache_ctx: tuple[str, dict[int, int]] | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Derive the worker-cache key from (index_dir, {shard: lineage}) and
+    decode the shard's doc-length pack through the cache — the ONE place
+    the key shape lives (every cogroup closure and the WAND decode path
+    go through here)."""
+    cache_key = None
+    if cache_ctx is not None:
+        index_dir, lineages = cache_ctx
+        shard = int(pack_pdf.iloc[0]["shard"])
+        if shard in lineages:
+            cache_key = (index_dir, shard, lineages[shard])
+    return _decode_dlpack(pack_pdf, cache_key)
 
 
 def _decode_shard_postings(
@@ -133,13 +169,7 @@ def _decode_shard_postings(
     the eligibility mask of a filtered search (topk_filtered). Composes
     with ``tombstones`` (allowed minus deleted); block metadata is rebuilt
     under the same position-addressing rule as the tombstone path."""
-    cache_key = None
-    if cache_ctx is not None:
-        index_dir, lineages = cache_ctx
-        shard = int(pack_pdf.iloc[0]["shard"])
-        if shard in lineages:
-            cache_key = (index_dir, shard, lineages[shard])
-    dl_ids, dl_vals = _decode_dlpack(pack_pdf, cache_key)
+    dl_ids, dl_vals = _decode_dlpack_ctx(pack_pdf, cache_ctx)
 
     out: dict[str, list[TermPostings]] = {}
     for _, row in post_pdf.iterrows():
@@ -200,6 +230,10 @@ class Bm25Index:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
+        # refuse mixed statistics (crash between terms swap + meta write)
+        from .indexer import check_stats_consistency
+
+        check_stats_consistency(index_dir, self.meta)
         # mergeSchema: defense-in-depth against mixed postings fragments
         # (append_index refuses to create them, but an index assembled by
         # hand must not silently drop avgdl_seg because an old fragment won
@@ -258,6 +292,16 @@ class Bm25Index:
         rows = self.terms.where(F.col("term").isin(q_terms)).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _wand_columns(self) -> list[str]:
+        """Postings columns the WAND decode actually reads — explicitly
+        projected so a positions=True index never ships its dominant
+        per-entry `pos` payload through the cogroup for queries that
+        don't use positions (phrase/highlight select their own set)."""
+        cols = ["term", "shard", "df", "doc_ids", "tfs", "block_last", "block_max"]
+        if "avgdl_seg" in self.postings.columns:
+            cols.append("avgdl_seg")
+        return cols
+
     def topk(self, query: str, k: int = 10, mode: str = "any") -> DataFrame:
         """Top-k (doc_id, score) for a free-text query, rank-deterministic.
 
@@ -285,7 +329,9 @@ class Bm25Index:
             # match nothing — skip the job entirely
             return self.spark.createDataFrame([], TOPK_SCHEMA)
 
-        relevant = self.postings.where(F.col("term").isin(list(idf_map)))
+        relevant = self.postings.where(F.col("term").isin(list(idf_map))).select(
+            *self._wand_columns()
+        )
 
         k1_, b_, bs_, avgdl_ = k1, b, block_size, avgdl
         idf_map_b = idf_map
@@ -342,19 +388,10 @@ class Bm25Index:
         contributes its own idf, so results equal a plain topk over the
         expanded term list (by construction: this method delegates to it).
         """
-        literals, expanded = [], []
-        for tok in query.split():
-            if tok.endswith("*") and len(tok) > 1:
-                base = tok[:-1].lower()
-                if not _PREFIX_RE.fullmatch(base):
-                    raise ValueError(
-                        f"invalid prefix {tok!r}: the part before '*' must "
-                        "be a single token ([a-z0-9_]+)"
-                    )
-                expanded.extend(self.expand_prefix(base, max_expansions))
-            else:
-                literals.extend(tokenize_text(tok))
-        terms = sorted(set(literals) | set(expanded))
+        terms = parse_expansion_query(
+            query, "*", "prefix",
+            lambda b_: self.expand_prefix(b_, max_expansions),
+        )
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk(" ".join(terms), k, mode=mode)
@@ -396,21 +433,10 @@ class Bm25Index:
         expand_fuzzy and the union of literals + expansions is scored as
         a standard multi-term BM25 (delegates to topk — the same
         discipline as topk_prefix)."""
-        literals, expanded = [], []
-        for tok in query.split():
-            if tok.endswith("~") and len(tok) > 1:
-                base = tok[:-1].lower()
-                if not _PREFIX_RE.fullmatch(base):
-                    raise ValueError(
-                        f"invalid fuzzy term {tok!r}: the part before '~' "
-                        "must be a single token ([a-z0-9_]+)"
-                    )
-                expanded.extend(
-                    self.expand_fuzzy(base, max_distance, max_expansions)
-                )
-            else:
-                literals.extend(tokenize_text(tok))
-        terms = sorted(set(literals) | set(expanded))
+        terms = parse_expansion_query(
+            query, "~", "fuzzy term",
+            lambda b_: self.expand_fuzzy(b_, max_distance, max_expansions),
+        )
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self.topk(" ".join(terms), k, mode=mode)
@@ -501,7 +527,9 @@ class Bm25Index:
             ids, scores = topk_block_max_wand(tps, k_)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
-        relevant = self.postings.where(F.col("term").isin(list(idf_map)))
+        relevant = self.postings.where(F.col("term").isin(list(idf_map))).select(
+            *self._wand_columns()
+        )
         per_shard_topk = (
             relevant.groupBy("shard")
             .cogroup(packs.groupBy("shard"))
@@ -562,13 +590,7 @@ class Bm25Index:
                 )
             if len(by_term) < len(uniq_b):
                 return empty  # a phrase term missing from this shard
-            cache_key = None
-            if cctx is not None:
-                index_dir, lineages = cctx
-                shard = int(pack_pdf.iloc[0]["shard"])
-                if shard in lineages:
-                    cache_key = (index_dir, shard, lineages[shard])
-            dl_ids, dl_vals = _decode_dlpack(pack_pdf, cache_key)
+            dl_ids, dl_vals = _decode_dlpack_ctx(pack_pdf, cctx)
             merged = {t: merge_term_segments(v) for t, v in by_term.items()}
             ids, scores = phrase_topk_shard(
                 [merged[t] for t in toks_b], idf_sum_, k1_, b_, avgdl_,
@@ -637,13 +659,7 @@ class Bm25Index:
                         bytes(row["pos"]), int(row["df"]),
                     )
                 )
-            cache_key = None
-            if cctx is not None:
-                index_dir, lineages = cctx
-                shard = int(pack_pdf.iloc[0]["shard"])
-                if shard in lineages:
-                    cache_key = (index_dir, shard, lineages[shard])
-            dl_ids, dl_vals = _decode_dlpack(pack_pdf, cache_key)
+            dl_ids, dl_vals = _decode_dlpack_ctx(pack_pdf, cctx)
             here = sorted(by_term)
             per_term = [merge_term_segments(by_term[t]) for t in here]
             ids, scores, starts, hits = highlight_topk_shard(
@@ -726,13 +742,7 @@ class Bm25Index:
                 )
             if any(t not in by_term for t in must_b):
                 return empty  # a required term absent from this shard
-            cache_key = None
-            if cctx is not None:
-                index_dir, lineages = cctx
-                shard = int(pack_pdf.iloc[0]["shard"])
-                if shard in lineages:
-                    cache_key = (index_dir, shard, lineages[shard])
-            dl_ids, dl_vals = _decode_dlpack(pack_pdf, cache_key)
+            dl_ids, dl_vals = _decode_dlpack_ctx(pack_pdf, cctx)
             score_terms, score_idfs = [], []
             for t in score_b:
                 for seg in by_term.get(t, []):
@@ -790,7 +800,9 @@ class Bm25Index:
             qid: [t for t in ts if t in idf_map] for qid, ts in q_terms.items()
         }
 
-        relevant = self.postings.where(F.col("term").isin(list(idf_map)))
+        relevant = self.postings.where(F.col("term").isin(list(idf_map))).select(
+            *self._wand_columns()
+        )
         k1_, b_, bs_, avgdl_, k_ = k1, b, block_size, avgdl, k
         idf_map_b, q_terms_b = idf_map, q_terms
         tomb = self.tombstones

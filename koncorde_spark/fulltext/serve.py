@@ -63,8 +63,12 @@ def _local_tombstones(index_dir: str) -> "np.ndarray":
 
 class LocalSearcher:
     def __init__(self, index_dir: str):
+        from .indexer import check_stats_consistency
+
         self.index_dir = index_dir
         self.meta = read_meta(index_dir)
+        # refuse mixed statistics (crash between terms swap + meta write)
+        check_stats_consistency(index_dir, self.meta)
         self._postings = ds.dataset(
             os.path.join(index_dir, "postings"), format="parquet", partitioning="hive"
         )
@@ -162,6 +166,10 @@ class LocalSearcher:
                 ids, scores = topk_block_max_wand(tps, k)
             cand_ids.append(ids)
             cand_scores.append(scores)
+        if not cand_ids:
+            # every matching entry may be tombstoned (terms keeps its df
+            # until compaction) — by_shard ends empty, not just short
+            return []
         ids = np.concatenate(cand_ids)
         scores = np.concatenate(cand_scores)
         order = np.lexsort((ids, -scores))[:k]
@@ -319,23 +327,12 @@ class LocalSearcher:
     ) -> list[tuple[int, float]]:
         """Fuzzy top-k, rank-identical to Bm25Index.topk_fuzzy (same
         expansion contract, then the shared topk path)."""
-        from .query import _PREFIX_RE
+        from .query import parse_expansion_query
 
-        literals, expanded = [], []
-        for tok in query.split():
-            if tok.endswith("~") and len(tok) > 1:
-                base = tok[:-1].lower()
-                if not _PREFIX_RE.fullmatch(base):
-                    raise ValueError(
-                        f"invalid fuzzy term {tok!r}: the part before '~' "
-                        "must be a single token ([a-z0-9_]+)"
-                    )
-                expanded.extend(
-                    self.expand_fuzzy(base, max_distance, max_expansions)
-                )
-            else:
-                literals.extend(tokenize_text(tok))
-        terms = sorted(set(literals) | set(expanded))
+        terms = parse_expansion_query(
+            query, "~", "fuzzy term",
+            lambda b_: self.expand_fuzzy(b_, max_distance, max_expansions),
+        )
         if not terms:
             return []
         return self.topk(" ".join(terms), k, mode=mode)
@@ -353,21 +350,12 @@ class LocalSearcher:
     ) -> list[tuple[int, float]]:
         """Wildcard-prefix top-k, rank-identical to Bm25Index.topk_prefix
         (same expansion contract, then the shared topk path)."""
-        from .query import _PREFIX_RE
+        from .query import parse_expansion_query
 
-        literals, expanded = [], []
-        for tok in query.split():
-            if tok.endswith("*") and len(tok) > 1:
-                base = tok[:-1].lower()
-                if not _PREFIX_RE.fullmatch(base):
-                    raise ValueError(
-                        f"invalid prefix {tok!r}: the part before '*' must "
-                        "be a single token ([a-z0-9_]+)"
-                    )
-                expanded.extend(self.expand_prefix(base, max_expansions))
-            else:
-                literals.extend(tokenize_text(tok))
-        terms = sorted(set(literals) | set(expanded))
+        terms = parse_expansion_query(
+            query, "*", "prefix",
+            lambda b_: self.expand_prefix(b_, max_expansions),
+        )
         if not terms:
             return []
         return self.topk(" ".join(terms), k, mode=mode)

@@ -1966,3 +1966,85 @@ class TestBooleanSearch:
             assert set(got) == set(exp), (trial, must, should, must_not)
             for d in exp:
                 assert abs(got[d] - exp[d]) < 1e-12, (trial, d)
+
+
+class TestStatsCommitProtocol:
+    """The terms parquet + meta.json stats pair commits with a shared
+    version stamp; a crash between the two writes is detected at open
+    time instead of silently serving mixed statistics."""
+
+    def test_stamps_matched_through_lifecycle(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        d = str(tmp_path / "idx")
+        base = synthetic_corpus_pandas(n_rows=60, seed=3)
+        grow = synthetic_corpus_pandas(n_rows=90, seed=3)
+        ix.build_index(spark, spark.createDataFrame(base), d,
+                       ix.IndexConfig(n_shards=2), resume=False)
+        assert ix.read_stats_version(d) == ix.read_meta(d)["stats_version"]
+        ix.append_index(spark, spark.createDataFrame(grow.iloc[60:]), d)
+        assert ix.read_stats_version(d) == ix.read_meta(d)["stats_version"]
+        ix.compact_index(spark, d)
+        assert ix.read_stats_version(d) == ix.read_meta(d)["stats_version"]
+
+    def test_mismatch_detected_and_compact_repairs(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+        from koncorde_spark.fulltext import fs as ifs
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        d = str(tmp_path / "idx")
+        ix.build_index(
+            spark,
+            spark.createDataFrame(synthetic_corpus_pandas(n_rows=60, seed=4)),
+            d, ix.IndexConfig(n_shards=2), resume=False,
+        )
+        # simulate a crash in the swap→meta gap: terms carries a stamp
+        # meta.json never recorded
+        ifs.write_json(
+            os.path.join(d, "terms", ix.STATS_VERSION_FILE), {"v": "deadbeef"}
+        )
+        with pytest.raises(RuntimeError, match="stats version"):
+            Bm25Index(spark, d)
+        with pytest.raises(RuntimeError, match="stats version"):
+            LocalSearcher(d)
+        # the hinted repair path rebuilds consistent stats from postings
+        ix.compact_index(spark, d)
+        idx = Bm25Index(spark, d)
+        got = idx.topk("import return", 10).toPandas()
+        assert len(got) > 0
+        local = LocalSearcher(d).topk("import return", 10)
+        assert [int(x) for x in got["doc_id"]] == [i for i, _ in local]
+
+    def test_all_tombstoned_term_returns_empty(self, spark, tmp_path):
+        """Serve-tier regression (review finding): tombstoning EVERY doc
+        of a term must return [], not crash on an empty concatenate."""
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        d = str(tmp_path / "idx")
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r"] * 4,
+                "path": [f"f{i}.py" for i in range(4)],
+                "commit": ["c"] * 4,
+                "lang": ["py"] * 4,
+                "content": ["unique_xyz alpha", "unique_xyz beta",
+                            "gamma delta", "beta gamma"],
+            }
+        )
+        ix.build_index(spark, spark.createDataFrame(pdf), d,
+                       ix.IndexConfig(n_shards=2), resume=False)
+        ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(d, "docs"))
+            .where("path like 'f0%' or path like 'f1%'").collect()
+        ]
+        assert len(ids) == 2
+        ix.delete_docs(spark, d, ids)
+        assert LocalSearcher(d).topk("unique_xyz", 5) == []
+        assert LocalSearcher(d).topk("unique_xyz", 5, mode="all") == []
+        assert Bm25Index(spark, d).topk("unique_xyz", 5).count() == 0
