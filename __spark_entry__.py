@@ -369,6 +369,34 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+GREP_PATTERN = "spark batch"
+
+
+def _q_substring_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index substring search (the code-search recipe): unique
+    byte trigrams of each doc indexed through the standard BM25 build,
+    pattern trigrams AND-intersected per shard for candidates, exact
+    contains() verification over candidates only. Oracle: a plain
+    strpos scan — the trigram path must be indistinguishable from grep."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.fulltext.substring import substring_search, trigram_corpus
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir) + "_tri"
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(
+        spark, trigram_corpus(corpus), idx_dir, IndexConfig(n_shards=8),
+        resume=True,
+    )
+    idx = Bm25Index(spark, idx_dir)
+    hits = substring_search(corpus, idx, GREP_PATTERN)
+    mapped = hits.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id")
+    )
+    return mapped.orderBy("doc_id")
+
+
 BM25_BOOL = {
     "must": ["spark"],
     "should": ["merge", "sort"],
@@ -845,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fields": _q_bm25_fields,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_boolean": _q_bm25_boolean,
+        "substring_grep": _q_substring_grep,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -895,6 +924,11 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_indexed = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id
+    )
+    grep_pat = GREP_PATTERN.replace("'", "''")
+    substring_grep = (
+        f"SELECT doc_id FROM documents WHERE strpos(text, '{grep_pat}') > 0 "
+        "ORDER BY doc_id"
     )
     bm25_boolean = bm25_boolean_sql(
         "documents", BM25_BOOL["must"], BM25_BOOL["should"],
@@ -1002,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fields": bm25_fields,
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_boolean": bm25_boolean,
+        "substring_grep": substring_grep,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

@@ -1,0 +1,149 @@
+"""Trigram-index substring search over a source-code corpus.
+
+The Google-Code-Search recipe (Cox, "Regular Expression Matching with a
+Trigram Index", 2012 — public design): index every document's distinct
+byte trigrams; a substring query of length ≥ 3 can only match documents
+containing EVERY trigram of the pattern, so the index answers a small
+candidate set and one exact ``contains`` verification pass over just
+those documents makes the result exact. Patterns shorter than 3 bytes
+fall back to the full verification scan (documented cost).
+
+Everything reuses the BM25 machinery: ``trigram_corpus`` rewrites each
+document's content into its unique trigrams hex-encoded as canonical
+tokens (``g`` + 6+ hex chars — pure [a-z0-9_], so the 4-place tokenizer
+passes them through unchanged), identity columns stay untouched (same
+sha-derived doc_id, same shard), and ``build_index`` builds the trigram
+postings exactly like a text index. UTF-8 BYTE trigrams, so matching is
+case-sensitive and encoding-exact — the right contract for code.
+
+Scale shape: candidates come from one term-pruned postings scan
+(PushedFilters on the pattern's trigrams) + per-shard vectorized doc-set
+intersection; verification touches only candidate rows (a broadcast-able
+semi-join against the corpus at realistic selectivities).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codecs import delta_decode
+from .indexer import sql_doc_id_col
+
+_IDENTITY_COLS = ("repo", "path", "commit", "lang")
+
+CANDIDATES_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+
+
+def _unique_trigram_tokens(text: str) -> str:
+    """Space-joined hex tokens of the DISTINCT utf-8 byte trigrams."""
+    data = text.encode("utf-8")
+    if len(data) < 3:
+        return ""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    keys = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+    return " ".join(f"g{k:06x}" for k in np.unique(keys))
+
+
+def pattern_trigram_tokens(pattern: str) -> list[str]:
+    """The (deduped, sorted) trigram tokens a match must contain."""
+    data = pattern.encode("utf-8")
+    if len(data) < 3:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    keys = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+    return [f"g{k:06x}" for k in np.unique(keys)]
+
+
+def trigram_corpus(corpus: DataFrame) -> DataFrame:
+    """Rewrite ``content`` into its unique-trigram token stream (identity
+    columns untouched → identical doc_ids/shards to a text index over the
+    same corpus). Feed the result to ``build_index``."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[list(_IDENTITY_COLS)].copy()
+            out["content"] = [
+                _unique_trigram_tokens(t) for t in pdf["content"]
+            ]
+            yield out
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in _IDENTITY_COLS]
+        + [T.StructField("content", T.StringType())]
+    )
+    return corpus.mapInPandas(run, schema=schema)
+
+
+def candidates(index, pattern: str) -> DataFrame:
+    """doc_ids of documents containing EVERY trigram of ``pattern`` —
+    the superset the verification pass narrows (exact for len ≥ 3).
+
+    ``index`` is a Bm25Index over ``trigram_corpus(...)``. One pruned
+    postings scan, per-shard sorted-array intersections, no scoring."""
+    toks = pattern_trigram_tokens(pattern)
+    if not toks:
+        raise ValueError(
+            "pattern shorter than 3 bytes has no trigrams — use "
+            "substring_search (it falls back to a full scan)"
+        )
+    dfs = index._df_for(toks)
+    if len(dfs) < len(toks):
+        return index.spark.createDataFrame([], CANDIDATES_SCHEMA)
+    need = len(toks)
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        per_term: dict[str, list[np.ndarray]] = {}
+        for _, row in pdf.iterrows():
+            per_term.setdefault(row["term"], []).append(
+                delta_decode(bytes(row["doc_ids"]), int(row["df"])).astype(np.int64)
+            )
+        if len(per_term) < need:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        sets = sorted(
+            (np.concatenate(v) if len(v) > 1 else v[0] for v in per_term.values()),
+            key=len,
+        )
+        cand = np.sort(sets[0])
+        for ids in sets[1:]:
+            if len(cand) == 0:
+                break
+            ids = np.sort(ids)
+            at = np.searchsorted(ids, cand)
+            cand = cand[ids[np.minimum(at, len(ids) - 1)] == cand]
+        return pd.DataFrame({"doc_id": cand})
+
+    relevant = index.postings.where(F.col("term").isin(toks)).select(
+        "term", "shard", "df", "doc_ids"
+    )
+    return relevant.groupBy("shard").applyInPandas(
+        lambda _, pdf: per_shard(pdf), schema=CANDIDATES_SCHEMA
+    )
+
+
+def substring_search(
+    corpus: DataFrame, index, pattern: str
+) -> DataFrame:
+    """Exact substring match: doc_ids of corpus documents whose content
+    contains ``pattern`` (case-sensitive, byte-exact).
+
+    len(pattern) ≥ 3: trigram candidates semi-join the corpus, then one
+    ``contains`` verification over candidates only. Shorter patterns:
+    full verification scan (no trigram can prune them)."""
+    with_id = corpus.withColumn("__doc_id", sql_doc_id_col())
+    if len(pattern.encode("utf-8")) >= 3:
+        cand = candidates(index, pattern)
+        with_id = with_id.join(
+            cand, with_id["__doc_id"] == cand["doc_id"], "left_semi"
+        )
+    return (
+        with_id.where(F.instr(F.col("content"), F.lit(pattern)) > 0)
+        .select(F.col("__doc_id").alias("doc_id"))
+    )

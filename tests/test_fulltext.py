@@ -2048,3 +2048,84 @@ class TestStatsCommitProtocol:
         assert LocalSearcher(d).topk("unique_xyz", 5) == []
         assert LocalSearcher(d).topk("unique_xyz", 5, mode="all") == []
         assert Bm25Index(spark, d).topk("unique_xyz", 5).count() == 0
+
+
+class TestSubstringSearch:
+    """Trigram-index substring search: candidates from AND-intersected
+    pattern trigrams, exact contains() verification — indistinguishable
+    from a full grep scan."""
+
+    @pytest.fixture(scope="class")
+    def tri_setup(self, spark, tmp_path_factory):
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.substring import trigram_corpus
+
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r"] * 6,
+                "path": [f"f{i}.py" for i in range(6)],
+                "commit": ["c"] * 6,
+                "lang": ["py"] * 6,
+                "content": [
+                    "def fetch_rows(self):\n    return self.db.query('SELECT *')",
+                    "class RowFetcher:\n    def fetch_rows(self): pass",
+                    "# fetch rows from the DB\nx = 1",
+                    "SELECT * FROM t -- unrelated",
+                    "Fetch_Rows mixed CASE variant",
+                    "unicode: naïve café ☕ test",
+                ],
+            }
+        )
+        out = str(tmp_path_factory.mktemp("triidx"))
+        corpus = spark.createDataFrame(pdf)
+        build_index(spark, trigram_corpus(corpus), out,
+                    IndexConfig(n_shards=2), resume=False)
+        return corpus, Bm25Index(spark, out), pdf
+
+    def _brute(self, pdf, pattern):
+        from koncorde_spark.fulltext.indexer import doc_id_of
+
+        return sorted(
+            doc_id_of(r, p, c)
+            for r, p, c, t in zip(pdf["repo"], pdf["path"], pdf["commit"],
+                                  pdf["content"])
+            if pattern in t
+        )
+
+    def test_matches_grep_exactly(self, tri_setup):
+        corpus, idx, pdf = tri_setup
+        from koncorde_spark.fulltext.substring import substring_search
+
+        for pat in (
+            "fetch_rows", "SELECT *", "def fetch_rows(self)", "db.query",
+            "Fetch_Rows", "naïve café", "):\n    return", "zzz_absent",
+        ):
+            got = sorted(
+                r["doc_id"] for r in substring_search(corpus, idx, pat).collect()
+            )
+            assert got == self._brute(pdf, pat), pat
+
+    def test_short_pattern_fallback(self, tri_setup):
+        corpus, idx, pdf = tri_setup
+        from koncorde_spark.fulltext.substring import substring_search
+
+        for pat in ("x", "db", "☕"):  # ☕ is 3 utf-8 bytes — no fallback
+            got = sorted(
+                r["doc_id"] for r in substring_search(corpus, idx, pat).collect()
+            )
+            assert got == self._brute(pdf, pat), pat
+
+    def test_candidates_superset_and_pruning(self, tri_setup):
+        corpus, idx, pdf = tri_setup
+        from koncorde_spark.fulltext.substring import candidates, substring_search
+
+        pat = "fetch_rows"
+        cand = sorted(r["doc_id"] for r in candidates(idx, pat).collect())
+        hits = sorted(
+            r["doc_id"] for r in substring_search(corpus, idx, pat).collect()
+        )
+        assert set(hits) <= set(cand)
+        assert len(cand) < len(pdf)  # the trigrams actually pruned
+        with pytest.raises(ValueError, match="trigrams"):
+            candidates(idx, "ab")
