@@ -397,6 +397,35 @@ def _q_substring_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy("doc_id")
 
 
+REGEX_PATTERN = "batch [a-z]+ merge"
+
+
+def _q_regex_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex search via required-literal trigram pruning (Cox 2012): the
+    literals every match must contain ('batch ', ' merge') pool their
+    trigrams into one all-required candidate set; a vectorized regex
+    pass over candidates only decides. Oracle: a full regexp_matches
+    scan — the pruned path must be indistinguishable from it (the
+    pattern sits in the documented Python-re ∩ RE2 common subset)."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.fulltext.substring import regex_search, trigram_corpus
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir) + "_tri"
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(
+        spark, trigram_corpus(corpus), idx_dir, IndexConfig(n_shards=8),
+        resume=True,
+    )
+    idx = Bm25Index(spark, idx_dir)
+    hits = regex_search(corpus, idx, REGEX_PATTERN)
+    mapped = hits.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id")
+    )
+    return mapped.orderBy("doc_id")
+
+
 BM25_BOOL = {
     "must": ["spark"],
     "should": ["merge", "sort"],
@@ -874,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_boolean": _q_bm25_boolean,
         "substring_grep": _q_substring_grep,
+        "regex_grep": _q_regex_grep,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -928,6 +958,11 @@ def oracle_sql() -> dict[str, str]:
     grep_pat = GREP_PATTERN.replace("'", "''")
     substring_grep = (
         f"SELECT doc_id FROM documents WHERE strpos(text, '{grep_pat}') > 0 "
+        "ORDER BY doc_id"
+    )
+    regex_pat = REGEX_PATTERN.replace("'", "''")
+    regex_grep = (
+        f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{regex_pat}') "
         "ORDER BY doc_id"
     )
     bm25_boolean = bm25_boolean_sql(
@@ -1037,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_boolean": bm25_boolean,
         "substring_grep": substring_grep,
+        "regex_grep": regex_grep,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

@@ -95,6 +95,12 @@ def candidates(index, pattern: str) -> DataFrame:
     dfs = index._df_for(toks)
     if len(dfs) < len(toks):
         return index.spark.createDataFrame([], CANDIDATES_SCHEMA)
+    return _candidates_for_tokens(index, toks)
+
+
+def _candidates_for_tokens(index, toks: list[str]) -> DataFrame:
+    """All-required doc-set intersection for an explicit trigram-token
+    set (every token must already exist in the vocabulary)."""
     need = len(toks)
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -146,4 +152,98 @@ def substring_search(
     return (
         with_id.where(F.instr(F.col("content"), F.lit(pattern)) > 0)
         .select(F.col("__doc_id").alias("doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# regex search (required-literal trigram pruning — Cox 2012 §"index-based
+# matching": any match of the regex must contain every literal that appears
+# unconditionally in it, so those literals' trigrams prune candidates)
+# --------------------------------------------------------------------------
+
+
+def required_literals(pattern: str) -> list[str]:
+    """Literal strings EVERY match of ``pattern`` must contain.
+
+    Conservative walk of the stdlib regex parse tree: literal runs at the
+    top-level concatenation, inside groups, and inside min>=1 repeats (one
+    iteration) are required; anything under an alternation, optional
+    repeat, or lookaround is not. IGNORECASE defeats byte-literal pruning
+    entirely → []. An empty result means "no pruning, fall back to the
+    full scan" — never an incorrect prune."""
+    import re as _re
+
+    try:
+        parser = _re._parser  # py3.11 home of sre_parse
+        parsed = parser.parse(pattern)
+    except Exception:  # noqa: BLE001 — unparseable: no pruning
+        return []
+    if parsed.state.flags & _re.IGNORECASE:
+        return []
+    LITERAL = parser.LITERAL
+    SUBPATTERN = parser.SUBPATTERN
+    MAX_REPEAT, MIN_REPEAT = parser.MAX_REPEAT, parser.MIN_REPEAT
+    AT = parser.AT
+
+    out: list[str] = []
+
+    def walk(seq) -> None:
+        cur: list[str] = []
+
+        def flush():
+            if cur:
+                out.append("".join(cur))
+                cur.clear()
+
+        for op, av in seq:
+            if op is LITERAL:
+                cur.append(chr(av))
+            elif op is AT:  # anchors don't break a literal run's presence,
+                flush()     # but the run isn't contiguous across them
+            elif op is SUBPATTERN:
+                flush()
+                walk(av[3])
+            elif op in (MAX_REPEAT, MIN_REPEAT) and av[0] >= 1:
+                flush()
+                walk(av[2])  # at least one iteration is required
+            else:
+                flush()
+        flush()
+
+    walk(parsed)
+    return [s for s in out if s]
+
+
+def regex_search(corpus: DataFrame, index, pattern: str) -> DataFrame:
+    """doc_ids of corpus documents whose content MATCHES ``pattern``
+    (Python ``re.search`` semantics — the verification pass runs pandas
+    ``str.contains(regex=True)`` over Arrow batches).
+
+    Required literals with ≥ 3 bytes prune via the trigram index (their
+    trigrams are pooled into ONE all-required candidate set); a pattern
+    yielding none runs the honest full verification scan."""
+    toks: list[str] = []
+    for lit in required_literals(pattern):
+        toks.extend(pattern_trigram_tokens(lit))
+    toks = sorted(set(toks))
+    with_id = corpus.withColumn("__doc_id", sql_doc_id_col())
+    if toks:
+        dfs = index._df_for(toks)
+        if len(dfs) < len(toks):
+            # a required trigram is absent from the corpus: no match exists
+            return index.spark.createDataFrame([], CANDIDATES_SCHEMA)
+        cand = _candidates_for_tokens(index, toks)
+        with_id = with_id.join(
+            cand, with_id["__doc_id"] == cand["doc_id"], "left_semi"
+        )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hit = pdf["content"].str.contains(pattern, regex=True, na=False)
+            yield pdf.loc[hit, ["__doc_id"]].rename(columns={"__doc_id": "doc_id"})
+
+    return with_id.select("__doc_id", "content").mapInPandas(
+        verify, schema=CANDIDATES_SCHEMA
     )

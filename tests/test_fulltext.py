@@ -2050,38 +2050,38 @@ class TestStatsCommitProtocol:
         assert Bm25Index(spark, d).topk("unique_xyz", 5).count() == 0
 
 
+@pytest.fixture(scope="session")
+def tri_corpus_setup(spark, tmp_path_factory):
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.fulltext.substring import trigram_corpus
+
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 6,
+            "path": [f"f{i}.py" for i in range(6)],
+            "commit": ["c"] * 6,
+            "lang": ["py"] * 6,
+            "content": [
+                "def fetch_rows(self):\n    return self.db.query('SELECT *')",
+                "class RowFetcher:\n    def fetch_rows(self): pass",
+                "# fetch rows from the DB\nx = 1",
+                "SELECT * FROM t -- unrelated",
+                "Fetch_Rows mixed CASE variant",
+                "unicode: naïve café ☕ test",
+            ],
+        }
+    )
+    out = str(tmp_path_factory.mktemp("triidx"))
+    corpus = spark.createDataFrame(pdf)
+    build_index(spark, trigram_corpus(corpus), out,
+                IndexConfig(n_shards=2), resume=False)
+    return corpus, Bm25Index(spark, out), pdf
+
 class TestSubstringSearch:
     """Trigram-index substring search: candidates from AND-intersected
     pattern trigrams, exact contains() verification — indistinguishable
     from a full grep scan."""
-
-    @pytest.fixture(scope="class")
-    def tri_setup(self, spark, tmp_path_factory):
-        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
-        from koncorde_spark.fulltext.query import Bm25Index
-        from koncorde_spark.fulltext.substring import trigram_corpus
-
-        pdf = pd.DataFrame(
-            {
-                "repo": ["r"] * 6,
-                "path": [f"f{i}.py" for i in range(6)],
-                "commit": ["c"] * 6,
-                "lang": ["py"] * 6,
-                "content": [
-                    "def fetch_rows(self):\n    return self.db.query('SELECT *')",
-                    "class RowFetcher:\n    def fetch_rows(self): pass",
-                    "# fetch rows from the DB\nx = 1",
-                    "SELECT * FROM t -- unrelated",
-                    "Fetch_Rows mixed CASE variant",
-                    "unicode: naïve café ☕ test",
-                ],
-            }
-        )
-        out = str(tmp_path_factory.mktemp("triidx"))
-        corpus = spark.createDataFrame(pdf)
-        build_index(spark, trigram_corpus(corpus), out,
-                    IndexConfig(n_shards=2), resume=False)
-        return corpus, Bm25Index(spark, out), pdf
 
     def _brute(self, pdf, pattern):
         from koncorde_spark.fulltext.indexer import doc_id_of
@@ -2093,8 +2093,8 @@ class TestSubstringSearch:
             if pattern in t
         )
 
-    def test_matches_grep_exactly(self, tri_setup):
-        corpus, idx, pdf = tri_setup
+    def test_matches_grep_exactly(self, tri_corpus_setup):
+        corpus, idx, pdf = tri_corpus_setup
         from koncorde_spark.fulltext.substring import substring_search
 
         for pat in (
@@ -2106,8 +2106,8 @@ class TestSubstringSearch:
             )
             assert got == self._brute(pdf, pat), pat
 
-    def test_short_pattern_fallback(self, tri_setup):
-        corpus, idx, pdf = tri_setup
+    def test_short_pattern_fallback(self, tri_corpus_setup):
+        corpus, idx, pdf = tri_corpus_setup
         from koncorde_spark.fulltext.substring import substring_search
 
         for pat in ("x", "db", "☕"):  # ☕ is 3 utf-8 bytes — no fallback
@@ -2116,8 +2116,8 @@ class TestSubstringSearch:
             )
             assert got == self._brute(pdf, pat), pat
 
-    def test_candidates_superset_and_pruning(self, tri_setup):
-        corpus, idx, pdf = tri_setup
+    def test_candidates_superset_and_pruning(self, tri_corpus_setup):
+        corpus, idx, pdf = tri_corpus_setup
         from koncorde_spark.fulltext.substring import candidates, substring_search
 
         pat = "fetch_rows"
@@ -2129,3 +2129,51 @@ class TestSubstringSearch:
         assert len(cand) < len(pdf)  # the trigrams actually pruned
         with pytest.raises(ValueError, match="trigrams"):
             candidates(idx, "ab")
+
+
+class TestRegexSearch:
+    """Regex search with required-literal trigram pruning: conservative
+    literal extraction, pooled all-required candidates, Python-re
+    verification — identical to a full scan."""
+
+    def test_required_literals_extraction(self):
+        from koncorde_spark.fulltext.substring import required_literals
+
+        cases = {
+            r"batch [a-z]+ merge": ["batch ", " merge"],
+            r"def fetch_\w+\(": ["def fetch_", "("],
+            r"foo|bar": [],
+            r"(abc)+xyz": ["abc", "xyz"],
+            r"a?bcdef": ["bcdef"],
+            r"^import os$": ["import os"],
+            r"(?i)caseless": [],
+            r"x{0,3}needle": ["needle"],
+            r"[unparseable": [],
+        }
+        for pat, want in cases.items():
+            assert required_literals(pat) == want, pat
+
+    def test_matches_full_scan(self, spark, tri_corpus_setup):
+        corpus, idx, pdf = tri_corpus_setup
+        import re as _re
+
+        from koncorde_spark.fulltext.substring import regex_search
+        from koncorde_spark.fulltext.indexer import doc_id_of
+
+        for pat in (
+            r"def fetch_\w+\(",          # literal-pruned
+            r"SELECT \*",                # literal-pruned, escaped meta
+            r"fetch|query",              # alternation → full-scan fallback
+            r"naïve café",               # unicode literals
+            r"zzz_absent_\d+",           # required trigram missing → empty
+        ):
+            got = sorted(
+                r["doc_id"] for r in regex_search(corpus, idx, pat).collect()
+            )
+            want = sorted(
+                doc_id_of(r, p, c)
+                for r, p, c, t in zip(pdf["repo"], pdf["path"], pdf["commit"],
+                                      pdf["content"])
+                if _re.search(pat, t)
+            )
+            assert got == want, pat
