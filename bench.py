@@ -228,6 +228,35 @@ def main():
     queries["bm25_near_x5"] = round(time.time() - t0, 3)
     pos_corpus.unpersist()
 
+    # trigram code-search: index 4k docs' distinct byte trigrams, then
+    # substring + regex queries (candidates ∩ verify) vs their selectivity
+    from koncorde_spark.fulltext.substring import (
+        regex_search,
+        substring_search,
+        trigram_corpus,
+    )
+
+    tri_dir = "/tmp/koncorde_bench_idx_tri"
+    shutil.rmtree(tri_dir, ignore_errors=True)
+    tri_src = synthetic_corpus_df(spark, n_rows=4000, seed=42,
+                                  partitions=cpus).cache()
+    tri_src.count()
+    timed(
+        "trigram_index_build_4k",
+        lambda: build_index(spark, trigram_corpus(tri_src), tri_dir,
+                            IndexConfig(n_shards=cpus), resume=False),
+    )
+    tri_idx = Bm25Index(spark, tri_dir)
+    timed(
+        "substring_grep",
+        lambda: substring_search(tri_src, tri_idx, "ident_00123").count(),
+    )
+    timed(
+        "regex_grep",
+        lambda: regex_search(tri_src, tri_idx, r"import ident_001\d\d").count(),
+    )
+    tri_src.unpersist()
+
     # --- reference-shaped microbench: 10k equals filters ------------------
     # mirrors /root/reference/benchmark.js (10,000 random-string equals
     # filters; README.md:98-99 reports 0.255s indexation, 10.3M single-doc
