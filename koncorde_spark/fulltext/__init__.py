@@ -18,4 +18,5 @@ __all__ = [
     # indexer.build_index / append_index / delete_docs / compact_index /
     #   maybe_compact
     # query.Bm25Index  multifield.MultiFieldSearch  serve.LocalSearcher
+    # substring.trigram_corpus / substring_search / regex_search
 ]
