@@ -369,6 +369,25 @@ def _q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _q_bm25_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match counting (the searcher's totalHits): live docs containing
+    ANY vs ALL of the query terms, no scoring, no top-k cut. Oracle:
+    two scalar EXISTS-style counts over the same tokens."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    q = " ".join(BM25_QUERY_TERMS)
+    n_any, n_all = idx.count(q, "any"), idx.count(q, "all")
+    return spark.createDataFrame(
+        [(n_any, n_all)], "n_any: bigint, n_all: bigint"
+    )
+
+
 GREP_PATTERN = "spark batch"
 
 
@@ -904,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean": _q_bm25_boolean,
         "substring_grep": _q_substring_grep,
         "regex_grep": _q_regex_grep,
+        "bm25_counts": _q_bm25_counts,
         "bm25_topk_all": _q_bm25_topk_all,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_near": _q_bm25_near,
@@ -960,6 +980,23 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id FROM documents WHERE strpos(text, '{grep_pat}') > 0 "
         "ORDER BY doc_id"
     )
+    _cnt_terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    bm25_counts = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), per AS (
+      SELECT doc_id, count(DISTINCT term) AS hit
+      FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+      WHERE term IN ({_cnt_terms})
+      GROUP BY doc_id
+    )
+    SELECT count(*)::BIGINT AS n_any,
+           count(*) FILTER (hit = {len(BM25_QUERY_TERMS)})::BIGINT AS n_all
+    FROM per
+    """
     regex_pat = REGEX_PATTERN.replace("'", "''")
     regex_grep = (
         f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{regex_pat}') "
@@ -1073,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boolean": bm25_boolean,
         "substring_grep": substring_grep,
         "regex_grep": regex_grep,
+        "bm25_counts": bm25_counts,
         "bm25_topk_all": bm25_all,
         "bm25_phrase": bm25_phrase,
         "bm25_near": bm25_near,

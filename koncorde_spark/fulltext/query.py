@@ -361,6 +361,65 @@ class Bm25Index:
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def count(self, query: str, mode: str = "any") -> int:
+        """Number of live documents matching the query — "any": union of
+        the terms' posting lists; "all": intersection — without scoring
+        or a top-k cut (the searcher's totalHits). Tombstones excluded.
+        One pruned postings scan; per-shard vectorized set arithmetic;
+        counts sum across shards (doc-disjoint by construction)."""
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        toks = sorted(set(tokenize_text(query)))
+        dfs = self._df_for(toks)
+        present = [t for t in toks if t in dfs]
+        if not present or (mode == "all" and len(present) < len(toks)):
+            return 0
+        need, tomb = len(present), self.tombstones
+        mode_ = mode
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"n": pd.Series(dtype="int64")})
+            per_term: dict[str, list[np.ndarray]] = {}
+            for _, row in pdf.iterrows():
+                per_term.setdefault(row["term"], []).append(
+                    delta_decode(bytes(row["doc_ids"]), int(row["df"])).astype(np.int64)
+                )
+            sets = [
+                np.sort(np.concatenate(v)) if len(v) > 1 else v[0]
+                for v in per_term.values()
+            ]
+            if mode_ == "all":
+                if len(per_term) < need:
+                    return pd.DataFrame({"n": [0]})
+                sets.sort(key=len)
+                cand = sets[0]
+                for ids in sets[1:]:
+                    if len(cand) == 0:
+                        break
+                    at = np.searchsorted(ids, cand)
+                    cand = cand[ids[np.minimum(at, len(ids) - 1)] == cand]
+            else:
+                cand = np.unique(np.concatenate(sets))
+            if len(tomb) and len(cand):
+                at = np.searchsorted(tomb, cand)
+                cand = cand[tomb[np.minimum(at, len(tomb) - 1)] != cand]
+            return pd.DataFrame({"n": [len(cand)]})
+
+        relevant = self.postings.where(F.col("term").isin(present)).select(
+            "term", "shard", "df", "doc_ids"
+        )
+        rows = (
+            relevant.groupBy("shard")
+            .applyInPandas(
+                lambda _, pdf: per_shard(pdf),
+                schema=T.StructType([T.StructField("n", T.LongType())]),
+            )
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        return int(rows[0]["n"] or 0)
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Vocabulary terms starting with ``prefix``, highest-df first
         (ties by ascending term), capped at ``max_expansions``.

@@ -230,6 +230,52 @@ class LocalSearcher:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
+    def count(self, query: str, mode: str = "any") -> int:
+        """totalHits twin of Bm25Index.count (same set semantics)."""
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        toks = sorted(set(tokenize_text(query)))
+        present = [t for t in toks if t in self._df]
+        if not present or (mode == "all" and len(present) < len(toks)):
+            return 0
+        tbl = self._postings.to_table(
+            filter=ds.field("term").isin(present),
+            columns=["term", "shard", "df", "doc_ids"],
+        )
+        by_shard: dict[int, dict[str, list[np.ndarray]]] = {}
+        for i in range(tbl.num_rows):
+            by_shard.setdefault(int(tbl["shard"][i].as_py()), {}).setdefault(
+                tbl["term"][i].as_py(), []
+            ).append(
+                delta_decode(
+                    bytes(tbl["doc_ids"][i].as_py()), int(tbl["df"][i].as_py())
+                ).astype(np.int64)
+            )
+        total = 0
+        for by_term in by_shard.values():
+            sets = [
+                np.sort(np.concatenate(v)) if len(v) > 1 else v[0]
+                for v in by_term.values()
+            ]
+            if mode == "all":
+                if len(by_term) < len(present):
+                    continue
+                sets.sort(key=len)
+                cand = sets[0]
+                for ids in sets[1:]:
+                    if len(cand) == 0:
+                        break
+                    at = np.searchsorted(ids, cand)
+                    cand = cand[ids[np.minimum(at, len(ids) - 1)] == cand]
+            else:
+                cand = np.unique(np.concatenate(sets))
+            tomb = self._tombstones
+            if len(tomb) and len(cand):
+                at = np.searchsorted(tomb, cand)
+                cand = cand[tomb[np.minimum(at, len(tomb) - 1)] != cand]
+            total += len(cand)
+        return total
+
     def topk_boolean(
         self,
         must: list[str] | None = None,

@@ -2177,3 +2177,44 @@ class TestRegexSearch:
                 if _re.search(pat, t)
             )
             assert got == want, pat
+
+
+class TestCount:
+    """count(query, mode): totalHits without scoring — set semantics
+    identical across tiers, tombstone-aware."""
+
+    def test_counts_match_brute_and_serve(self, spark, small_corpus_pdf, bm25_index_dir):
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        idx = Bm25Index(spark, bm25_index_dir)
+        searcher = LocalSearcher(bm25_index_dir)
+        toksets = [set(tokenize_text(t)) for t in small_corpus_pdf["content"]]
+        for q in ("import return", "ident_00042", "import zz_nope"):
+            terms = set(tokenize_text(q))
+            n_any = sum(1 for t in toksets if t & terms)
+            n_all = sum(1 for t in toksets if terms <= t)
+            assert idx.count(q, "any") == searcher.count(q, "any") == n_any, q
+            assert idx.count(q, "all") == searcher.count(q, "all") == n_all, q
+        with pytest.raises(ValueError, match="mode"):
+            idx.count("import", "most")
+
+    def test_counts_respect_tombstones(self, spark, tmp_path):
+        from koncorde_spark.fulltext import indexer as ix
+        from koncorde_spark.fulltext.query import Bm25Index
+        from koncorde_spark.fulltext.serve import LocalSearcher
+        from koncorde_spark.sources import synthetic_corpus_pandas
+
+        d = str(tmp_path / "idx")
+        ix.build_index(
+            spark,
+            spark.createDataFrame(synthetic_corpus_pandas(n_rows=40, seed=6)),
+            d, ix.IndexConfig(n_shards=2), resume=False,
+        )
+        before = Bm25Index(spark, d).count("import", "any")
+        ids = [r["doc_id"] for r in
+               spark.read.parquet(os.path.join(d, "docs")).limit(5).collect()]
+        ix.delete_docs(spark, d, ids)
+        after = Bm25Index(spark, d).count("import", "any")
+        assert after == LocalSearcher(d).count("import", "any")
+        assert after <= before and before - after <= 5
