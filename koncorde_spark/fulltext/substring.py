@@ -80,12 +80,28 @@ def trigram_corpus(corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(run, schema=schema)
 
 
+# Intersect only the rarest K pattern trigrams (Cox 2012's query planner):
+# any SUBSET of the required trigrams yields a SUPERSET candidate set, and
+# the verification pass stays exact — so dropping the common trigrams (the
+# `def `/`ret `/` th` of code corpora) bounds the decode cost at the sum of
+# the K smallest dfs instead of the sum of ALL pattern-trigram dfs.
+RAREST_K = 12
+
+
+def _rarest(toks: list[str], dfs: dict[str, int], k: int = RAREST_K) -> list[str]:
+    """The k lowest-df tokens (df then token ties — deterministic)."""
+    if len(toks) <= k:
+        return list(toks)
+    return sorted(toks, key=lambda t: (dfs[t], t))[:k]
+
+
 def candidates(index, pattern: str) -> DataFrame:
     """doc_ids of documents containing EVERY trigram of ``pattern`` —
     the superset the verification pass narrows (exact for len ≥ 3).
 
     ``index`` is a Bm25Index over ``trigram_corpus(...)``. One pruned
-    postings scan, per-shard sorted-array intersections, no scoring."""
+    postings scan over the RAREST_K lowest-df pattern trigrams, per-shard
+    vectorized doc-set intersections, no scoring."""
     toks = pattern_trigram_tokens(pattern)
     if not toks:
         raise ValueError(
@@ -95,7 +111,7 @@ def candidates(index, pattern: str) -> DataFrame:
     dfs = index._df_for(toks)
     if len(dfs) < len(toks):
         return index.spark.createDataFrame([], CANDIDATES_SCHEMA)
-    return _candidates_for_tokens(index, toks)
+    return _candidates_for_tokens(index, _rarest(toks, dfs))
 
 
 def _candidates_for_tokens(index, toks: list[str]) -> DataFrame:
@@ -107,9 +123,9 @@ def _candidates_for_tokens(index, toks: list[str]) -> DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
         per_term: dict[str, list[np.ndarray]] = {}
-        for _, row in pdf.iterrows():
-            per_term.setdefault(row["term"], []).append(
-                delta_decode(bytes(row["doc_ids"]), int(row["df"])).astype(np.int64)
+        for term, blob, df_ in zip(pdf["term"], pdf["doc_ids"], pdf["df"]):
+            per_term.setdefault(term, []).append(
+                delta_decode(bytes(blob), int(df_)).astype(np.int64)
             )
         if len(per_term) < need:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
@@ -168,8 +184,10 @@ def required_literals(pattern: str) -> list[str]:
     Conservative walk of the stdlib regex parse tree: literal runs at the
     top-level concatenation, inside groups, and inside min>=1 repeats (one
     iteration) are required; anything under an alternation, optional
-    repeat, or lookaround is not. IGNORECASE defeats byte-literal pruning
-    entirely → []. An empty result means "no pruning, fall back to the
+    repeat, or lookaround is not. IGNORECASE defeats byte-literal pruning:
+    a global flag → [], a group-scoped ``(?i:...)``/``(?L:...)`` → that
+    subtree is skipped (its literals match caselessly, so they are not
+    byte-required). An empty result means "no pruning, fall back to the
     full scan" — never an incorrect prune."""
     import re as _re
 
@@ -202,6 +220,11 @@ def required_literals(pattern: str) -> list[str]:
                 flush()     # but the run isn't contiguous across them
             elif op is SUBPATTERN:
                 flush()
+                # av = (group, add_flags, del_flags, subseq): a scoped
+                # (?i:...)/(?L:...) makes the subtree's literals caseless
+                # — skip it, its runs are not byte-required
+                if av[1] & (_re.IGNORECASE | _re.LOCALE):
+                    continue
                 walk(av[3])
             elif op in (MAX_REPEAT, MIN_REPEAT) and av[0] >= 1:
                 flush()
@@ -220,8 +243,9 @@ def regex_search(corpus: DataFrame, index, pattern: str) -> DataFrame:
     ``str.contains(regex=True)`` over Arrow batches).
 
     Required literals with ≥ 3 bytes prune via the trigram index (their
-    trigrams are pooled into ONE all-required candidate set); a pattern
-    yielding none runs the honest full verification scan."""
+    trigrams are pooled into ONE all-required candidate set, capped at the
+    RAREST_K lowest-df trigrams — verification keeps the result exact); a
+    pattern yielding none runs the honest full verification scan."""
     toks: list[str] = []
     for lit in required_literals(pattern):
         toks.extend(pattern_trigram_tokens(lit))
@@ -232,7 +256,7 @@ def regex_search(corpus: DataFrame, index, pattern: str) -> DataFrame:
         if len(dfs) < len(toks):
             # a required trigram is absent from the corpus: no match exists
             return index.spark.createDataFrame([], CANDIDATES_SCHEMA)
-        cand = _candidates_for_tokens(index, toks)
+        cand = _candidates_for_tokens(index, _rarest(toks, dfs))
         with_id = with_id.join(
             cand, with_id["__doc_id"] == cand["doc_id"], "left_semi"
         )

@@ -2130,6 +2130,25 @@ class TestSubstringSearch:
         with pytest.raises(ValueError, match="trigrams"):
             candidates(idx, "ab")
 
+    def test_rarest_k_cap(self, tri_corpus_setup):
+        """Long patterns intersect only the RAREST_K lowest-df trigrams
+        (Cox's planner): any subset prunes to a superset, verification
+        stays exact — pinned by test_matches_grep_exactly's
+        'def fetch_rows(self)' (19 trigrams > RAREST_K). Here: the helper
+        is deterministic and actually caps."""
+        from koncorde_spark.fulltext.substring import (
+            RAREST_K, _rarest, pattern_trigram_tokens)
+
+        toks = pattern_trigram_tokens("def fetch_rows(self):\n    return")
+        assert len(toks) > RAREST_K
+        dfs = {t: i % 5 for i, t in enumerate(toks)}
+        picked = _rarest(toks, dfs)
+        assert len(picked) == RAREST_K
+        assert picked == _rarest(list(reversed(toks)), dfs)  # order-free
+        assert max(dfs[t] for t in picked) <= min(
+            dfs[t] for t in toks if t not in picked
+        )
+
 
 class TestRegexSearch:
     """Regex search with required-literal trigram pruning: conservative
@@ -2149,6 +2168,12 @@ class TestRegexSearch:
             r"(?i)caseless": [],
             r"x{0,3}needle": ["needle"],
             r"[unparseable": [],
+            # scoped inline flags: the caseless subtree's literals are NOT
+            # byte-required, but siblings outside it still are
+            r"(?i:Foo)bar": ["bar"],
+            r"pre(?i:MID)post": ["pre", "post"],
+            r"(?i:whole)": [],
+            r"(a(?i:B)c)tail": ["a", "c", "tail"],
         }
         for pat, want in cases.items():
             assert required_literals(pat) == want, pat
@@ -2166,6 +2191,9 @@ class TestRegexSearch:
             r"fetch|query",              # alternation → full-scan fallback
             r"naïve café",               # unicode literals
             r"zzz_absent_\d+",           # required trigram missing → empty
+            r"(?i:FETCH_)rows",          # scoped (?i:) — 'FETCH_' must NOT
+                                         # prune (matches fetch_/Fetch_ docs)
+            r"(?i:SELECT) \*",           # scoped flag + required ' *' sibling
         ):
             got = sorted(
                 r["doc_id"] for r in regex_search(corpus, idx, pat).collect()
