@@ -828,6 +828,15 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_scrub(docs)
 
 
+def _q_pii_scrub_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-re2 PII scrub (the scale path): identical output to
+    pii_scrub from one mapInPandas pass — count_substring_regex +
+    replace_substring_regex chained in the same fixed order.
+    Oracle: pii_scrub_sql (same patterns; DuckDB is RE2 too)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.pii_scrub_arrow(docs)
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style composite corpus cleaning with auditable per-rule
     reasons. Oracle: quality_filter_sql, same metric SQL + rule order."""
@@ -948,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "repetition": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "pii_scrub_arrow": _q_pii_scrub_arrow,
         "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
@@ -1138,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": text.quality_filter_sql("documents"),
         "repetition": text.repetition_stats_sql("documents"),
         "pii_scrub": text.pii_scrub_sql("documents"),
+        "pii_scrub_arrow": text.pii_scrub_sql("documents"),
         "contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
         ),

@@ -346,6 +346,20 @@ def main():
         .collect(),
     )
     extra["pii_scrub_docs_per_sec"] = round(n_corpus / queries["pii_scrub"], 1)
+    timed(
+        "pii_scrub_arrow",
+        lambda: text.pii_scrub_arrow(corpus, "content", "path")
+        .agg(
+            F.sum("n_emails"),
+            F.sum("n_ipv4"),
+            F.sum("n_phones"),
+            F.sum(F.length("scrubbed")),
+        )
+        .collect(),
+    )
+    extra["pii_scrub_arrow_docs_per_sec"] = round(
+        n_corpus / queries["pii_scrub_arrow"], 1
+    )
 
     # full near-dup pipeline: LSH candidates → pruned Jaccard verify →
     # connected components (the end-to-end dedup path a crawl corpus runs)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..fulltext.tokenizer import SPLIT_PATTERN
 from ..rounding import round_away
@@ -743,6 +744,64 @@ def pii_scrub(
         F.regexp_count(c, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def pii_scrub_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-re2 variant of :func:`pii_scrub` — identical output, identical
+    shared patterns, one ``mapInPandas`` pass instead of chained
+    java.util.regex projections.
+
+    java.util.regex re-scans the UTF8String per pattern with per-match
+    object churn (CLAUDE.md measured ~100× Arrow re2 on code text); here
+    the whole batch stays in Arrow: ``count_substring_regex`` for the
+    per-category counts over the ORIGINAL text, ``replace_substring_regex``
+    chained in the same fixed order (emails → IPv4 → phones). RE2 and
+    java.util.regex agree on these patterns by construction (explicit
+    classes only — see the pattern comment above), and the DuckDB oracle
+    (also RE2) pins both. The Catalyst form stays as the oracle twin.
+
+    100-TB shape: column-pruned scan → narrow mapInPandas → write; no
+    shuffle, no driver traffic."""
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("n_emails", T.LongType()),
+            T.StructField("n_ipv4", T.LongType()),
+            T.StructField("n_phones", T.LongType()),
+            T.StructField("scrubbed", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = pa.array(pdf[text_col].fillna("").astype(str), type=pa.string())
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for name, pat in (
+                ("n_emails", PII_EMAIL),
+                ("n_ipv4", PII_IPV4),
+                ("n_phones", PII_PHONE),
+            ):
+                out[name] = (
+                    pc.count_substring_regex(arr, pat)
+                    .to_numpy(zero_copy_only=False)
+                    .astype("int64")
+                )
+            scrub = pc.replace_substring_regex(arr, PII_EMAIL, "<EMAIL>")
+            scrub = pc.replace_substring_regex(scrub, PII_IPV4, "<IP>")
+            scrub = pc.replace_substring_regex(scrub, PII_PHONE, "<PHONE>")
+            out["scrubbed"] = scrub.to_pandas()
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
 def pii_scrub_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:

@@ -891,3 +891,32 @@ class TestPiiScrub:
         )
         for c in ["n_emails", "n_ipv4", "n_phones", "scrubbed"]:
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_arrow_variant_identical(self, spark):
+        """pii_scrub_arrow (the re2 scale path) is bit-identical to the
+        Catalyst form on crafted PII AND on the documents domain —
+        counts, scrub markers, null/empty handling, id dtype."""
+        texts = [
+            "contact me at jane.doe+x@example.com or bob@corp.co.uk today",
+            "server 192.168.1.200 and 10.0.0.1 rebooted",
+            "call +1 (555) 123-4567 now",
+            "mixed: a@b.io 8.8.8.8 and 0123456789",
+            None,
+            "",
+        ]
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        sdf = spark.createDataFrame(pdf)
+        a = text.pii_scrub(sdf).toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = (
+            text.pii_scrub_arrow(sdf)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = text.pii_scrub(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = (
+            text.pii_scrub_arrow(docs)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert a.equals(b)
