@@ -52,26 +52,133 @@ def vkey(v: Any):
     return ("other", repr(v))
 
 
+def _item_matches(item: Any, tag: str, value: Any) -> bool:
+    """One typed-scalar equality check (the strict true!==1 contract)."""
+    if tag == "null":
+        return item is None
+    if tag == "bool":
+        return isinstance(item, (bool, np.bool_)) and bool(item) == value
+    if tag == "num":
+        return (
+            isinstance(item, (int, float, np.integer, np.floating))
+            and not isinstance(item, (bool, np.bool_))
+            and float(item) == value
+        )
+    if tag == "str":
+        return isinstance(item, str) and item == value
+    return False
+
+
 def typed_contains(lst: Any, tag: str, value: Any) -> bool:
     """Strict containment of a typed scalar in a (possibly non-list) value."""
     if not isinstance(lst, (list, tuple, np.ndarray)):
         return False
-    for item in lst:
+    return any(_item_matches(item, tag, value) for item in lst)
+
+
+def _flatten_object_lists(vals: np.ndarray):
+    """One-pass decomposition of an object array's list entries.
+
+    Returns ``(is_arr, items, parents)``: ``is_arr`` marks the list-typed
+    entries; ``items`` is the flat object array of every list element;
+    ``parents[i]`` is the source row of ``items[i]``. The single Python
+    pass here replaces one FULL ``Series.apply`` pass PER CONDITION —
+    every condition on the column then probes the same flattened view."""
+    n = len(vals)
+    is_arr = np.fromiter(
+        (isinstance(v, (list, tuple, np.ndarray)) for v in vals),
+        dtype=bool,
+        count=n,
+    )
+    arr_pos = np.nonzero(is_arr)[0]
+    if len(arr_pos) == 0:
+        return is_arr, np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    lens = np.fromiter(
+        (len(vals[i]) for i in arr_pos), dtype=np.int64, count=len(arr_pos)
+    )
+    parents = np.repeat(arr_pos, lens)
+    items = np.empty(int(lens.sum()), dtype=object)
+    pos = 0
+    for i, ln in zip(arr_pos, lens):
+        if ln:
+            v = vals[i]
+            # list() guard: slice-assigning a 2-D ndarray into an object
+            # slice would broadcast-fail; a list of its rows assigns
+            items[pos : pos + ln] = v if type(v) is list else list(v)
+        pos += ln
+    return is_arr, items, parents
+
+
+class _FlatItems:
+    """Factorized view of a flattened list column: typed containment per
+    condition costs O(uniques) Python + O(items) numpy gathers instead of
+    a per-row Python ``apply``. Bool items factorize apart from the rest
+    (True/1 Python-hash equality — same guard as ``_scalar_eq_groups``);
+    None/NaN items carry factorize's -1 sentinel, so ``null`` containment
+    is answered from a dedicated identity-is-None mask."""
+
+    def __init__(self, items: np.ndarray, parents: np.ndarray, n_rows: int):
+        self.items = items
+        self.parents = parents
+        self.n_rows = n_rows
+        self.is_none = (
+            np.fromiter((x is None for x in items), dtype=bool, count=len(items))
+            if len(items)
+            else np.empty(0, dtype=bool)
+        )
+        # parts: (positions, codes, uniques); codes None → unhashable
+        # items in that partition, probed per-item instead
+        self.parts: list[tuple[np.ndarray, Any, Any]] = []
+        if len(items) == 0:
+            return
+        bmask = np.fromiter(
+            (isinstance(x, (bool, np.bool_)) for x in items),
+            dtype=bool,
+            count=len(items),
+        )
+        if bmask.any() and not bmask.all():
+            groups = [np.nonzero(bmask)[0], np.nonzero(~bmask)[0]]
+        else:
+            groups = [np.arange(len(items), dtype=np.int64)]
+        for pos in groups:
+            try:
+                codes, uniques = pd.factorize(
+                    pd.Series(items[pos], dtype=object)
+                )
+            except TypeError:
+                self.parts.append((pos, None, None))
+                continue
+            self.parts.append((pos, codes, np.asarray(uniques, dtype=object)))
+
+    def row_mask(self, tag: str, value: Any) -> np.ndarray:
+        """Bool mask over source rows: list contains the typed value."""
+        out = np.zeros(self.n_rows, dtype=bool)
+        if len(self.items) == 0:
+            return out
         if tag == "null":
-            if item is None:
-                return True
-        elif tag == "bool":
-            if isinstance(item, (bool, np.bool_)) and bool(item) == value:
-                return True
-        elif tag == "num":
-            if isinstance(item, (int, float, np.integer, np.floating)) and not isinstance(
-                item, (bool, np.bool_)
-            ) and float(item) == value:
-                return True
-        elif tag == "str":
-            if isinstance(item, str) and item == value:
-                return True
-    return False
+            out[self.parents[self.is_none]] = True
+            return out
+        for pos, codes, uniques in self.parts:
+            if codes is None:
+                im = np.fromiter(
+                    (_item_matches(self.items[i], tag, value) for i in pos),
+                    dtype=bool,
+                    count=len(pos),
+                )
+            else:
+                uf = np.fromiter(
+                    (_item_matches(u, tag, value) for u in uniques),
+                    dtype=bool,
+                    count=len(uniques),
+                )
+                im = np.zeros(len(pos), dtype=bool)
+                valid = codes >= 0  # -1 = factorize NA sentinel (None/NaN)
+                im[valid] = uf[codes[valid]]
+            out[self.parents[pos[im]]] = True
+        return out
+
+    def rows_containing(self, tag: str, value: Any) -> np.ndarray:
+        return np.nonzero(self.row_mask(tag, value))[0]
 
 
 # ---------------------------------------------------------------------------
@@ -570,10 +677,16 @@ class CompiledIndex:
             s = batch.col(path)
             if s is None:
                 continue
+            if s.dtype != object:
+                continue  # scalar-typed column: no entry can be an array
+            is_arr, items, parents = _flatten_object_lists(
+                s.to_numpy(dtype=object)
+            )
+            if not is_arr.any():
+                continue
+            flat = _FlatItems(items, parents, batch.n)
             for (tag, value), sfs in vmap.items():
-                hits = s.apply(lambda lst: typed_contains(lst, tag, value)).to_numpy(dtype=bool)
-                rows = np.nonzero(hits)[0]
-                emit_x(rows, sfs)
+                emit_x(flat.rows_containing(tag, value), sfs)
         for path, sfs in self.notexists_sfs.items():
             s = batch.col(path)
             if s is None:
@@ -592,16 +705,23 @@ class CompiledIndex:
             nn = np.nonzero(~isna)[0]
             if len(nn) == 0:
                 continue
-            sub = s.iloc[nn]
-            is_arr = sub.apply(lambda v: isinstance(v, (list, tuple, np.ndarray))).to_numpy(dtype=bool)
+            if s.dtype != object:
+                # scalar-typed column: no entry is an array, every
+                # array-value cond matches every present row
+                emit_x(nn.astype(np.int64), all_sfs)
+                continue
+            is_arr, items, parents = _flatten_object_lists(
+                s.to_numpy(dtype=object)
+            )
             # non-array present value: every array-value cond matches
-            emit_x(nn[~is_arr], all_sfs)
-            arr_rows = nn[is_arr]
+            emit_x(nn[~is_arr[nn]], all_sfs)
+            arr_rows = np.nonzero(is_arr)[0]  # arrays are never NA rows
+            if len(arr_rows) == 0:
+                continue
+            flat = _FlatItems(items, parents, batch.n)
             for (tag, value), sfs in vmap.items():
-                contains = s.iloc[arr_rows].apply(
-                    lambda lst: typed_contains(lst, tag, value)
-                ).to_numpy(dtype=bool)
-                emit_x(arr_rows[~contains], sfs)
+                contains = flat.row_mask(tag, value)
+                emit_x(arr_rows[~contains[arr_rows]], sfs)
 
     def _numeric_col(self, batch, field):
         s = batch.col(field)

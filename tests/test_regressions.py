@@ -261,3 +261,79 @@ class TestMultiNegativeConditionsOneField:
         )
         out = k.test_many([{"f": None}, {"f": "x"}, {"f": "y"}, {}])
         assert out == [[], [], [fid], []]
+
+
+class TestFlatItemsArrayMatcher:
+    """The vectorized list-membership probe (one flatten + one factorize
+    per column, per-unique typed checks) must keep the exact semantics of
+    the former per-row typed_contains apply."""
+
+    def test_typed_collisions_and_null_in_arrays(self):
+        k = Koncorde()
+        f_num = k.register({"exists": "tags[1]"})
+        f_bool = k.register({"exists": "tags[true]"})
+        f_null = k.register({"exists": "tags[null]"})
+        f_str = k.register({"exists": 'tags["1"]'})
+        docs = [
+            {"tags": [1, 2]},            # num 1 only (not bool True, not "1")
+            {"tags": [True]},            # bool True only
+            {"tags": [None]},            # null only
+            {"tags": ["1"]},             # str only
+            {"tags": [False, 0, None]},  # null only (0 is not 1)
+            {"tags": "1"},               # scalar, not an array: nothing
+            {"tags": [float("nan")]},    # nan matches nothing
+            {},                          # absent: nothing
+        ]
+        out = k.test_many(docs)
+        assert out == [
+            [f_num], [f_bool], [f_null], [f_str], [f_null], [], [], []
+        ]
+
+    def test_missing_array_value_typed(self):
+        k = Koncorde()
+        fid = k.register({"missing": "tags[1]"})
+        docs = [
+            {"tags": [1]},          # contains num 1 -> no match
+            {"tags": [True]},       # bool True is not num 1 -> match
+            {"tags": ["x"]},        # match
+            {"tags": 5},            # non-array present value -> match
+            {},                     # absent column -> match
+            {"tags": None},         # null -> match
+        ]
+        assert k.test_many(docs) == [[], [fid], [fid], [fid], [fid], [fid]]
+
+    def test_unhashable_items_fallback(self):
+        """Lists nested inside arrays are unhashable — factorize falls
+        back to per-item probes without changing results."""
+        k = Koncorde()
+        fid = k.register({"exists": 'tags["a"]'})
+        docs = [
+            {"tags": [["x"], "a"]},
+            {"tags": [["a"]]},      # nested list is not the string "a"
+            {"tags": ["b"]},
+        ]
+        assert k.test_many(docs) == [[fid], [], []]
+
+    def test_array_heavy_microbench(self):
+        """Array-heavy fixture: vectorized probe must stay well under the
+        old per-row apply cost (~0.5s for this shape); generous ceiling
+        so shared-vCPU noise never flakes."""
+        import time
+
+        rng = np.random.default_rng(7)
+        n = 40_000
+        docs = [
+            {"tags": rng.choice(["a", "b", "c", "d", "e"], size=8).tolist()}
+            for _ in range(n)
+        ]
+        k = Koncorde()
+        fids = [
+            k.register({"exists": f'tags["{v}"]'}) for v in ("a", "b", "zz")
+        ]
+        t = time.time()
+        out = k.test_many(docs)
+        took = time.time() - t
+        hits_a = sum(fids[0] in o for o in out)
+        assert hits_a == sum("a" in d["tags"] for d in docs)
+        assert all(fids[2] not in o for o in out)
+        assert took < 5.0, f"array matcher too slow: {took:.2f}s"
