@@ -175,6 +175,34 @@ class LocalSearcher:
         order = np.lexsort((ids, -scores))[:k]
         return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]
 
+    def _scored_union_by_shard(self, toks: list[str]):
+        """Per-shard (TermOccurrences list, idf list) for the present
+        query terms — the brute multiterm decode the multi-field path
+        feeds to the shared kernel (highlight.multiterm_scores)."""
+        from .phrase import TermOccurrences as _TO
+
+        present = [t for t in toks if t in self._df]
+        if not present:
+            return {}
+        idf = {t: float(bm25_idf(self.meta["n_docs"], self._df[t]))
+               for t in present}
+        tbl = self._postings.to_table(
+            filter=ds.field("term").isin(present),
+            columns=["term", "shard", "df", "doc_ids", "tfs"],
+        )
+        by_shard: dict[int, tuple[list, list]] = {}
+        _no_pos = np.empty(0, dtype=np.int64)
+        for i in range(tbl.num_rows):
+            shard = int(tbl["shard"][i].as_py())
+            n = int(tbl["df"][i].as_py())
+            ids = delta_decode(bytes(tbl["doc_ids"][i].as_py()), n).astype(np.int64)
+            tfs = varint_decode(bytes(tbl["tfs"][i].as_py()), n).astype(np.int64)
+            occ_off = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+            acc = by_shard.setdefault(shard, ([], []))
+            acc[0].append(_TO(ids, occ_off, _no_pos))
+            acc[1].append(idf[tbl["term"][i].as_py()])
+        return by_shard
+
     def highlight(
         self, query: str, k: int = 10, window: int = 30
     ) -> list[tuple[int, float, int, int]]:
@@ -471,3 +499,71 @@ class LocalSearcher:
         scores = np.concatenate(cand_scores)
         order = np.lexsort((ids, -scores))[:k]
         return [(int(i), float(s)) for i, s in zip(ids[order], scores[order])]
+
+
+class LocalMultiFieldSearcher:
+    """Spark-free twin of multifield.MultiFieldSearch.
+
+    Same invariants (shared n_shards → doc→shard co-location across field
+    indexes; one (k1, b) family), same shared kernel
+    (highlight.multiterm_scores) scoring each field with its OWN
+    statistics, weight-scaled and summed per doc within a shard — so
+    ranks and scores are identical to the distributed path by
+    construction (pinned in tests/test_serve.py)."""
+
+    def __init__(
+        self,
+        index_dirs: dict[str, str],
+        weights: dict[str, float] | None = None,
+    ):
+        if not index_dirs:
+            raise ValueError("at least one field index is required")
+        self.searchers = {
+            f: LocalSearcher(d) for f, d in sorted(index_dirs.items())
+        }
+        self.weights = {
+            f: float((weights or {}).get(f, 1.0)) for f in self.searchers
+        }
+        shards = {s.meta["n_shards"] for s in self.searchers.values()}
+        if len(shards) != 1:
+            raise ValueError(
+                f"field indexes disagree on n_shards ({sorted(shards)}) — "
+                "doc→shard co-location requires one shared value"
+            )
+        kb = {(s.meta["k1"], s.meta["b"]) for s in self.searchers.values()}
+        if len(kb) != 1:
+            raise ValueError(f"field indexes disagree on (k1, b): {sorted(kb)}")
+        (self.k1, self.b), = kb
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        from .highlight import multiterm_scores
+
+        toks = sorted(set(tokenize_text(query)))
+        if not toks:
+            return []
+        acc: dict[int, tuple[list, list]] = {}
+        for f, s in self.searchers.items():
+            w = self.weights[f]
+            avgdl = float(s.meta["avgdl"])
+            for shard, (per_term, idfs) in s._scored_union_by_shard(toks).items():
+                dl_ids, dl_vals = s._dl[shard]
+                cand, sc = multiterm_scores(
+                    per_term, idfs, self.k1, self.b, avgdl,
+                    dl_ids, dl_vals, s._tombstones,
+                )
+                if len(cand):
+                    parts = acc.setdefault(shard, ([], []))
+                    parts[0].append(cand)
+                    parts[1].append(w * sc)
+        rows: list[tuple[int, float]] = []
+        for shard, (idp, scp) in acc.items():
+            all_ids = np.concatenate(idp)
+            all_sc = np.concatenate(scp)
+            uids, inv = np.unique(all_ids, return_inverse=True)
+            tot = np.bincount(inv, weights=all_sc)
+            order = np.lexsort((uids, -tot))[:k]
+            rows.extend(
+                (int(i), float(v)) for i, v in zip(uids[order], tot[order])
+            )
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]

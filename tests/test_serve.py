@@ -37,3 +37,71 @@ def test_serve_equals_spark_path(spark, bm25_index_dir):
     dist = [(int(r["doc_id"]), float(r["score"])) for r in idx.topk(q, 15).collect()]
     assert [d for d, _ in local] == [d for d, _ in dist]
     assert np.allclose([x for _, x in local], [x for _, x in dist], atol=0)
+
+
+@pytest.mark.spark
+def test_serve_multifield_equals_spark_path(
+    spark, small_corpus_pdf, bm25_index_dir, tmp_path_factory
+):
+    """LocalMultiFieldSearcher is rank- and score-identical to the
+    distributed MultiFieldSearch (shared multiterm kernel, same per-field
+    statistics and weights)."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.multifield import MultiFieldSearch
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.fulltext.serve import LocalMultiFieldSearcher
+
+    path_dir = str(tmp_path_factory.mktemp("mfservepath"))
+    pdf = small_corpus_pdf.copy()
+    pdf["content"] = pdf["path"]
+    build_index(spark, spark.createDataFrame(pdf).repartition(3), path_dir,
+                IndexConfig(n_shards=4), resume=False)
+
+    weights = {"content": 1.0, "path": 3.0}
+    mf = MultiFieldSearch(
+        spark,
+        {"content": Bm25Index(spark, bm25_index_dir),
+         "path": Bm25Index(spark, path_dir)},
+        weights=weights,
+    )
+    local = LocalMultiFieldSearcher(
+        {"content": bm25_index_dir, "path": path_dir}, weights=weights
+    )
+    for q, k in [
+        ("import src_00007 py", 15),
+        ("import return def", 12),
+        ("missingterm_zzz", 5),
+        ("", 5),
+    ]:
+        dist = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in mf.topk(q, k).collect()
+        ]
+        got = local.topk(q, k)
+        assert [d for d, _ in got] == [d for d, _ in dist], q
+        assert np.allclose(
+            [x for _, x in got], [x for _, x in dist], atol=1e-12
+        ), q
+
+
+def test_serve_multifield_single_field_equals_topk(bm25_index_dir):
+    """One field at weight 1.0 degenerates to plain topk."""
+    from koncorde_spark.fulltext.serve import LocalMultiFieldSearcher
+
+    s = LocalSearcher(bm25_index_dir)
+    mf = LocalMultiFieldSearcher({"content": bm25_index_dir})
+    for q, k in QUERIES:
+        got, want = mf.topk(q, k), s.topk(q, k)
+        # scores allclose, not ==: summation ORDER differs (bincount vs
+        # WAND accumulation) — same tolerance as the distributed twin test
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert np.allclose(
+            [x for _, x in got], [x for _, x in want], atol=1e-12
+        ), q
+
+
+def test_serve_multifield_validation(bm25_index_dir):
+    from koncorde_spark.fulltext.serve import LocalMultiFieldSearcher
+
+    with pytest.raises(ValueError, match="at least one"):
+        LocalMultiFieldSearcher({})
