@@ -804,6 +804,35 @@ def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_split(docs).select("doc_id", "split")
 
 
+def _q_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span exposure (Lee et al. 2022): per-doc
+    fraction of distinct 8-token shingles shared with ANY other doc.
+    One explode → shingle-df hash-agg → co-partitioned join → per-doc agg.
+    Oracle: cross_doc_dup_stats_sql (same shingle ids, exact division)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.cross_doc_dup_stats(docs)
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source frequency cap: md5(seed:id)-ranked keep
+    set, one partitioned window. Oracle: cap_per_source_sql."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.cap_per_source(docs, cap=15)
+
+
+def _q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language (zero-shuffle
+    scan→filter; pure (seed,id) function). Oracle: stratified_sample_sql
+    with identical thresholds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.stratified_sample(
+        docs, rates=STRAT_RATES, stratum_col="lang", default_rate=0.10
+    )
+
+
+STRAT_RATES = {"en": 0.5, "zh": 1.0, "fr": 0.25}
+
+
 def _q_vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 corpus bigrams with counts + doc frequency (tokenizer-
     training prep). Oracle: vocab_topk_sql, same tie-break."""
@@ -951,6 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "doc_split": _q_doc_split,
         "contamination": _q_contamination,
+        "crossdup": _q_crossdup,
+        "source_cap": _q_source_cap,
+        "strat_sample": _q_strat_sample,
         "seq_pack": _q_seq_pack,
         "seq_pack_global": _q_seq_pack_global,
         "vocab_bigrams": _q_vocab_bigrams,
@@ -1151,6 +1183,12 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_arrow": text.pii_scrub_sql("documents"),
         "contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
+        ),
+        "crossdup": dedup.cross_doc_dup_stats_sql("documents"),
+        "source_cap": sampling.cap_per_source_sql("documents", cap=15),
+        "strat_sample": sampling.stratified_sample_sql(
+            "documents", rates=STRAT_RATES, stratum_col="lang",
+            default_rate=0.10
         ),
         "emb_near_dup": similarity.embedding_near_dup_pairs_sql("embeddings"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),

@@ -774,3 +774,104 @@ def simhash_pairs_sql(
     SELECT DISTINCT id_a, id_b, hamming
     FROM cand WHERE hamming <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate-span exposure (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": repeated k-token spans
+# across documents are the unit of harmful train-set duplication — this
+# reports each document's exposure so thresholded filtering/trimming can
+# act on it)
+# ---------------------------------------------------------------------------
+
+
+def cross_doc_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Per-document cross-corpus duplicate-span stats: (id, n_shingles,
+    n_dup_shingles, dup_frac) where a shingle (token k-gram, same frozen
+    per-token-md5 Horner ids as MinHash/contamination) counts as DUP iff
+    it occurs in at least one OTHER document.
+
+    Scale shape (100 TB): one tokenize+explode pass over the corpus →
+    one hash-agg keyed by shingle (per-shingle df collapses boilerplate
+    shingles to one row each, so key skew caps at one combiner row per
+    shingle per partition) → one co-partitioned join back on the shingle
+    key → one per-doc agg. No all-pairs work anywhere; cost is linear in
+    total distinct (doc, shingle) pairs. Docs too short for a shingle
+    surface with n_shingles=0, dup_frac=0.0 (explode_outer keeps them).
+
+    dup_frac is an exact int/int double division (cross-engine-hashable
+    without rounding, same contract as contamination_pairs)."""
+    sh = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("__t"))
+        .select(F.col(id_col), _token_hashes_spark("__t").alias("__th"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(_shingles_from_hashes("__th", shingle_k))
+            ).alias("s"),
+        )
+    )
+    # per-doc shingles are already distinct → count(*) == distinct-doc df
+    dfs = (
+        sh.where(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.count("*").alias("__df"))
+    )
+    return (
+        sh.join(dfs, "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("s").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_shingles"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_dup_shingles",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_dup_shingles") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def cross_doc_dup_stats_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+) -> str:
+    """DuckDB twin of cross_doc_dup_stats (same shingle ids, same exact
+    int/int division; short docs surface with zeros via the left join)."""
+    sh = _shingles_sql(text_col, shingle_k, distinct=True)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col}, unnest({sh}) AS s FROM {table}
+    ),
+    dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.{id_col},
+             count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_shingles
+      FROM sh JOIN dfs USING (s)
+      GROUP BY sh.{id_col}
+    )
+    SELECT t.{id_col},
+           coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+           coalesce(per.n_dup_shingles, 0)::BIGINT AS n_dup_shingles,
+           CASE WHEN coalesce(per.n_shingles, 0) > 0
+                THEN per.n_dup_shingles / per.n_shingles
+                ELSE 0.0 END AS dup_frac
+    FROM {table} t LEFT JOIN per USING ({id_col})
+    """

@@ -293,3 +293,119 @@ def pack_sequences_sql(
            (prev % {capacity})::BIGINT AS pack_offset
     FROM cum
     """
+
+
+# ---------------------------------------------------------------------------
+# per-source frequency capping + stratified sampling (corpus composition
+# controls: cap boilerplate-heavy domains, rebalance strata — the knobs a
+# web-crawl training mix is tuned with)
+# ---------------------------------------------------------------------------
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Deterministic per-source frequency cap: (id, source, source_rank,
+    kept). Each source keeps its ``cap`` lowest-ranked documents, where
+    rank order is md5(seed:id) (ties by id) — a pure function of the
+    data, so reruns and repartitions never swap which rows survive, and
+    growing a source only ever evicts by the same fixed order.
+
+    Scale shape: ONE partitioned window (partition = source). Source
+    cardinality is huge on a crawl (domains), so partitions stay small;
+    a single pathological mega-source serializes only its own partition
+    — at that point pre-filter it explicitly rather than raising cap."""
+    key = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), F.col(source_col), h.alias("__h"))
+        .withColumn("source_rank", F.row_number().over(w).cast("long"))
+        .select(
+            id_col,
+            source_col,
+            "source_rank",
+            (F.col("source_rank") <= cap).alias("kept"),
+        )
+    )
+
+
+def cap_per_source_sql(
+    table: str,
+    cap: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> str:
+    """DuckDB twin of cap_per_source (same md5 rank key, same tie order)."""
+    h = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT)"
+    )
+    return f"""
+    SELECT {id_col}, {source_col},
+           row_number() OVER (
+             PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC
+           )::BIGINT AS source_rank,
+           (row_number() OVER (
+             PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC
+           ) <= {cap}) AS kept
+    FROM {table}
+    """
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row of stratum ``v``
+    with probability ``rates[v]`` (``default_rate`` for unlisted strata,
+    including NULL), decided by the same md5(seed:id) bucket as
+    deterministic_split — a pure function of (seed, id), so samples are
+    stable under reruns/repartitions/appends and strata can be re-weighted
+    without reshuffling rows already kept at a lower rate (monotone
+    thresholds on one bucket). Zero shuffle: scan → filter."""
+    bucket = _split_bucket_expr(id_col, seed)
+    expr = None
+    for v, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(v)
+        keep = bucket < int(round(r * SPLIT_BUCKETS))
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    default_keep = bucket < int(round(default_rate * SPLIT_BUCKETS))
+    expr = default_keep if expr is None else expr.otherwise(default_keep)
+    return df.where(expr)
+
+
+def stratified_sample_sql(
+    table: str,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "strat",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB twin of stratified_sample (same bucket, same thresholds;
+    CASE falls through to the default branch for NULL strata exactly like
+    Spark's when/otherwise)."""
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SPLIT_BUCKETS})"
+    )
+    case = "CASE "
+    for v, r in rates.items():
+        case += (
+            f"WHEN {stratum_col} = '{v}' "
+            f"THEN {bucket} < {int(round(r * SPLIT_BUCKETS))} "
+        )
+    case += f"ELSE {bucket} < {int(round(default_rate * SPLIT_BUCKETS))} END"
+    return f"SELECT * FROM {table} WHERE {case}"

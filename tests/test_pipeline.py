@@ -920,3 +920,159 @@ class TestPiiScrub:
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestCrossDocDup:
+    """Cross-document duplicate-span exposure (Lee et al. 2022 unit):
+    dup iff a distinct k-shingle occurs in >=2 docs."""
+
+    def test_crafted_and_duckdb_parity(self, spark):
+        import duckdb
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        texts = [
+            shared + " one two three",        # shares the 8-gram with doc 1
+            shared + " four five six",
+            "totally different content with no overlap at all here now",
+            "short",                           # < k tokens -> no shingles
+            None,
+        ]
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            dedup.cross_doc_dup_stats(spark.createDataFrame(pdf), shingle_k=8)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # docs 0/1 share exactly the one 8-shingle of the common prefix
+        assert got.loc[0, "n_dup_shingles"] == 1
+        assert got.loc[1, "n_dup_shingles"] == 1
+        assert got.loc[2, "n_dup_shingles"] == 0
+        assert got.loc[3, "n_shingles"] == 0 and got.loc[3, "dup_frac"] == 0.0
+        assert got.loc[4, "n_shingles"] == 0
+
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = (
+            con.execute(dedup.cross_doc_dup_stats_sql("documents"))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        for c in ["n_shingles", "n_dup_shingles", "dup_frac"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_identical_docs_fully_dup(self, spark):
+        t = "one two three four five six seven eight nine ten"
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": [t, t]})
+        got = (
+            dedup.cross_doc_dup_stats(spark.createDataFrame(pdf), shingle_k=8)
+            .toPandas()
+        )
+        assert (got["dup_frac"] == 1.0).all()
+
+
+class TestCapPerSource:
+    def test_deterministic_cap_and_parity(self, spark):
+        import duckdb
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(30),
+                "source": ["a"] * 20 + ["b"] * 7 + ["c"] * 3,
+            }
+        )
+        got = (
+            sampling.cap_per_source(spark.createDataFrame(pdf), cap=5)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        kept = got[got["kept"]]
+        assert kept.groupby("source").size().to_dict() == {"a": 5, "b": 5, "c": 3}
+        # stability: same rows survive on a rerun over a repartitioned frame
+        again = (
+            sampling.cap_per_source(
+                spark.createDataFrame(pdf).repartition(7), cap=5
+            )
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.equals(again)
+
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = (
+            con.execute(sampling.cap_per_source_sql("documents", cap=5))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        for c in ["source", "source_rank", "kept"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_growth_only_evicts_by_fixed_order(self, spark):
+        """Adding docs to a source never reorders the existing ranks
+        relative to each other (pure md5 order)."""
+        small = pd.DataFrame({"doc_id": range(10), "source": ["s"] * 10})
+        big = pd.DataFrame({"doc_id": range(20), "source": ["s"] * 20})
+        a = (
+            sampling.cap_per_source(spark.createDataFrame(small), cap=100)
+            .toPandas().set_index("doc_id")["source_rank"]
+        )
+        b = (
+            sampling.cap_per_source(spark.createDataFrame(big), cap=100)
+            .toPandas().set_index("doc_id")["source_rank"]
+        )
+        sub = b.loc[a.index]
+        # relative order of the original 10 is preserved
+        assert list(a.sort_values().index) == list(sub.sort_values().index)
+
+
+class TestStratifiedSample:
+    def test_rates_and_parity(self, spark):
+        import duckdb
+
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(2000),
+                "lang": rng.choice(["en", "zh", "fr", "xx", None], size=2000),
+            }
+        )
+        rates = {"en": 0.5, "zh": 1.0, "fr": 0.0}
+        sdf = spark.createDataFrame(pdf)
+        got = (
+            sampling.stratified_sample(
+                sdf, rates, stratum_col="lang", default_rate=0.2
+            )
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        by = got.groupby("lang", dropna=False).size()
+        n_by = pdf.groupby("lang", dropna=False).size()
+        assert by.get("zh") == n_by["zh"]          # rate 1.0 keeps all
+        assert "fr" not in by.index                # rate 0.0 drops all
+        assert abs(by["en"] / n_by["en"] - 0.5) < 0.1
+        assert abs(by.get("xx", 0) / n_by["xx"] - 0.2) < 0.1
+        # NULL stratum follows the default branch
+        n_null = n_by[n_by.index.isna()].iloc[0]
+        kept_null = by[by.index.isna()].iloc[0] if by.index.isna().any() else 0
+        assert abs(kept_null / n_null - 0.2) < 0.15
+
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = (
+            con.execute(
+                sampling.stratified_sample_sql(
+                    "documents", rates, stratum_col="lang", default_rate=0.2
+                )
+            )
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+
+    def test_monotone_reweighting(self, spark):
+        """Raising a stratum's rate only ADDS rows (same seed, same
+        bucket): the kept set at 0.3 is a subset of the kept set at 0.6."""
+        pdf = pd.DataFrame({"doc_id": range(1000), "lang": ["en"] * 1000})
+        sdf = spark.createDataFrame(pdf)
+        lo = set(
+            sampling.stratified_sample(sdf, {"en": 0.3})
+            .toPandas()["doc_id"]
+        )
+        hi = set(
+            sampling.stratified_sample(sdf, {"en": 0.6})
+            .toPandas()["doc_id"]
+        )
+        assert lo <= hi
