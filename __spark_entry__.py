@@ -29,6 +29,8 @@ from koncorde_spark.fulltext.brute import (
     bm25_phrase_sql,
     bm25_prefix_sql,
 )
+from koncorde_spark.fulltext.facets import search_facets_sql
+from koncorde_spark.fulltext.hybrid import hybrid_rrf_sql
 from koncorde_spark.pipeline import dedup, sampling, similarity, text
 from koncorde_spark.rounding import round_away as _round_away
 
@@ -911,6 +913,49 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, ANN_QUERY_VEC, ANN_K)
 
 
+FACET_COLS = ["lang", "source"]
+FACET_TOP_N = 8
+
+
+def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (Elasticsearch terms-agg shape): top-N values of
+    each facet column over ALL docs matching the query terms — one scan,
+    one melted hash-agg, per-facet window over value counts only.
+    Oracle: search_facets_sql (same tokenizer + melt + cut)."""
+    from koncorde_spark.fulltext.facets import search_facets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search_facets(
+        docs, BM25_QUERY_TERMS, FACET_COLS, top_n=FACET_TOP_N
+    )
+
+
+HYBRID_DEPTH = 50   # per-leg retrieval depth fed into the fusion
+HYBRID_K = 15
+HYBRID_RRF_K = 60
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    a lexical BM25 top-depth leg over documents and a semantic cosine
+    top-depth leg over embeddings (vec_id ≡ doc_id in the fixture).
+    Fusion touches only the legs' top-depth rows; the fold order of the
+    per-leg 1/(rrf_k+rank) contributions is fixed, so the double sum is
+    bit-reproducible. Oracle: hybrid_rrf_sql over the same two brute
+    leg SQLs (identical rounded leg scores → identical ranks)."""
+    from koncorde_spark.fulltext.hybrid import rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lex = bm25_brute_topk(docs, BM25_QUERY_TERMS, HYBRID_DEPTH)
+    sem = similarity.cosine_topk(emb, ANN_QUERY_VEC, HYBRID_DEPTH).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    return rrf_fuse(
+        [(lex, "score"), (sem, "cosine")], k=HYBRID_K, rrf_k=HYBRID_RRF_K
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst-expressed LSH ANN (frozen literal hyperplanes) — the
     oracle-checkable twin of the float32-matmul scale path
@@ -992,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_arrow": _q_pii_scrub_arrow,
         "emb_near_dup": _q_emb_near_dup,
         "ann_cosine": _q_ann_cosine,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "search_facets": _q_search_facets,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
@@ -1192,6 +1239,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_near_dup": similarity.embedding_near_dup_pairs_sql("embeddings"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
+        "search_facets": search_facets_sql(
+            "documents", BM25_QUERY_TERMS, FACET_COLS, top_n=FACET_TOP_N
+        ),
+        "hybrid_rrf": hybrid_rrf_sql(
+            [
+                (
+                    bm25_brute_sql("documents", BM25_QUERY_TERMS, HYBRID_DEPTH),
+                    "doc_id",
+                    "score",
+                ),
+                (
+                    similarity.cosine_topk_sql(
+                        "embeddings", ANN_QUERY_VEC, HYBRID_DEPTH
+                    ),
+                    "vec_id",
+                    "cosine",
+                ),
+            ],
+            k=HYBRID_K,
+            rrf_k=HYBRID_RRF_K,
+        ),
         "ann_ivf": similarity.ivf_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K, nprobe=4),
         "ann_lsh": similarity.ann_topk_catalyst_sql(
             "embeddings", ANN_QUERY_VEC, ANN_K, bits=6
