@@ -30,6 +30,7 @@ from koncorde_spark.fulltext.brute import (
     bm25_prefix_sql,
 )
 from koncorde_spark.fulltext.facets import search_facets_sql
+from koncorde_spark.fulltext.mlt import more_like_this_sql
 from koncorde_spark.fulltext.hybrid import hybrid_rrf_sql
 from koncorde_spark.pipeline import dedup, sampling, similarity, text
 from koncorde_spark.rounding import round_away as _round_away
@@ -913,6 +914,25 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, ANN_QUERY_VEC, ANN_K)
 
 
+MLT_DOC_ID = 42
+MLT_K = 15
+MLT_MAX_TERMS = 12
+
+
+def _q_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (Lucene MLT recipe): seed doc's top tf·idf terms
+    (bounded driver collect ≤ max_query_terms) feed a distributed BM25
+    search that excludes the seed from candidates but keeps it in the
+    corpus statistics. Oracle: more_like_this_sql (identical selection
+    rounding/ties + identical BM25 formula)."""
+    from koncorde_spark.fulltext.mlt import more_like_this
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return more_like_this(
+        docs, MLT_DOC_ID, k=MLT_K, max_query_terms=MLT_MAX_TERMS
+    )
+
+
 FACET_COLS = ["lang", "source"]
 FACET_TOP_N = 8
 
@@ -1039,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _q_ann_cosine,
         "hybrid_rrf": _q_hybrid_rrf,
         "search_facets": _q_search_facets,
+        "bm25_mlt": _q_bm25_mlt,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
@@ -1239,6 +1260,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_near_dup": similarity.embedding_near_dup_pairs_sql("embeddings"),
         "ann_cosine": similarity.cosine_topk_sql("embeddings", ANN_QUERY_VEC, ANN_K),
+        "bm25_mlt": more_like_this_sql(
+            "documents", MLT_DOC_ID, k=MLT_K, max_query_terms=MLT_MAX_TERMS
+        ),
         "search_facets": search_facets_sql(
             "documents", BM25_QUERY_TERMS, FACET_COLS, top_n=FACET_TOP_N
         ),

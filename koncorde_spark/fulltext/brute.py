@@ -26,7 +26,11 @@ def bm25_brute_topk(
     b: float = 0.75,
     round_to: int | None = 6,
     materialize: bool = True,
+    exclude_ids: list | None = None,
 ) -> DataFrame:
+    """``exclude_ids``: ids dropped from the CANDIDATE set only — corpus
+    statistics (n, avgdl, df) still include them, matching a Lucene index
+    that contains the excluded doc (the more-like-this contract)."""
     qarr = F.array(*[F.lit(t) for t in query_terms])
     d = df.select(
         F.col(id_col),
@@ -65,6 +69,8 @@ def bm25_brute_topk(
         )
         if round_to is not None:
             scored = scored.withColumn("score", round_away(F.col("score"), round_to))
+        if exclude_ids:
+            scored = scored.where(~F.col(id_col).isin(exclude_ids))
         out = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
         if materialize:
             out = out.localCheckpoint()  # materialize while d is cached
