@@ -480,6 +480,34 @@ def _q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+# query-string form of a boolean query: parser must produce
+# must=[spark], should=[merge, sort], must_not=[hive], boosts={merge: 2}
+BM25_QS_QUERY = '+spark -hive merge^2 sort'
+
+
+def _q_bm25_qs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style query-string end-to-end: one string parsed into
+    modifiers/boosts and dispatched onto the boolean engine
+    (querystring.execute_query_string). Oracle: bm25_boolean_sql with
+    the clause lists the parser must produce — so the gate checks the
+    PARSER output, not just the engine."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.fulltext.querystring import execute_query_string
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = execute_query_string(idx, BM25_QS_QUERY, k=BM25_K)
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 BM25_FUZZY_QUERY = "table sprak~ jion~"
 BM25_FUZZY_DIST = 2
 BM25_FUZZY_MAX_EXP = 4
@@ -1060,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "search_facets": _q_search_facets,
         "bm25_mlt": _q_bm25_mlt,
+        "bm25_qs": _q_bm25_qs,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
@@ -1116,6 +1145,10 @@ def oracle_sql() -> dict[str, str]:
         "documents", BM25_BOOL["must"], BM25_BOOL["should"],
         BM25_BOOL["must_not"], BM25_BOOL["boosts"], BM25_K,
         tie_sql=internal_id,
+    )
+    bm25_qs = bm25_boolean_sql(
+        "documents", ["spark"], ["merge", "sort"], ["hive"],
+        {"merge": 2.0}, BM25_K, tie_sql=internal_id,
     )
     _fz_lits = [t for t in BM25_FUZZY_QUERY.split() if not t.endswith("~")]
     _fz_fz = [t[:-1] for t in BM25_FUZZY_QUERY.split() if t.endswith("~")]
@@ -1218,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fields": bm25_fields,
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_boolean": bm25_boolean,
+        "bm25_qs": bm25_qs,
         "substring_grep": substring_grep,
         "regex_grep": regex_grep,
         "bm25_counts": bm25_counts,

@@ -410,6 +410,49 @@ def main():
         lambda: similarity.ivf_topk(emb, qv, 10, centroids=ivf_cents, nprobe=4).collect(),
     )
 
+    # --- round-5 search surface: MLT / facets / hybrid / query-string -----
+    from koncorde_spark.fulltext.facets import search_facets
+    from koncorde_spark.fulltext.hybrid import rrf_fuse
+    from koncorde_spark.fulltext.mlt import more_like_this
+    from koncorde_spark.fulltext.querystring import execute_query_string
+
+    docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs_sf = docs_sf.count()
+    timed(
+        "bm25_mlt",
+        lambda: more_like_this(docs_sf, 42, k=15, max_query_terms=12).collect(),
+    )
+    timed(
+        "search_facets",
+        lambda: search_facets(
+            docs_sf, ["spark", "join", "merge"], ["lang", "source"]
+        ).collect(),
+    )
+    extra["facet_docs_per_sec"] = round(n_docs_sf / queries["search_facets"], 1)
+
+    def _hybrid():
+        lex = bm25_brute_topk(docs_sf, ["spark", "join", "merge"], 50)
+        sem = similarity.cosine_topk(emb, qv, 50).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        return rrf_fuse([(lex, "score"), (sem, "cosine")], k=15).collect()
+
+    timed("hybrid_rrf", _hybrid)
+
+    qs_set = [
+        "+import ident_00001 return^2",
+        "funct* def",
+        "ident_00007 -import",
+        "retur~1 def",
+        "import return def",
+    ]
+    t0 = time.time()
+    for qs_q in qs_set:
+        r = execute_query_string(idx, qs_q, k=10)
+        r if isinstance(r, list) else r.collect()
+    queries["bm25_qs_x5"] = round(time.time() - t0, 3)
+    docs_sf.unpersist()
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "suite_total",

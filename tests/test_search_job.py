@@ -1,0 +1,54 @@
+"""search_job CLI: the --local serving-tier path runs Spark-free from a
+plain subprocess and its query-string ranks match the library calls."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run_local(index_dir: str, *args: str) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "jobs", "search_job.py"),
+            "--index", index_dir, "--local", *args,
+        ],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+class TestSearchJobLocal:
+    def test_qs_mode_matches_library(self, bm25_index_dir):
+        from koncorde_spark.fulltext.querystring import execute_query_string
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        out = _run_local(
+            bm25_index_dir, "--query", "+def funct* -xyzzynotaterm", "--k", "8"
+        )
+        want = execute_query_string(
+            LocalSearcher(bm25_index_dir), "+def funct* -xyzzynotaterm", k=8
+        )
+        assert [(h["doc_id"], h["score"]) for h in out["hits"]] == [
+            (int(d), float(s)) for d, s in want
+        ]
+
+    def test_topk_and_count_modes(self, bm25_index_dir):
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        ls = LocalSearcher(bm25_index_dir)
+        out = _run_local(
+            bm25_index_dir, "--query", "def function", "--mode", "topk", "--k", "5"
+        )
+        assert [(h["doc_id"], h["score"]) for h in out["hits"]] == [
+            (int(d), float(s)) for d, s in ls.topk("def function", 5)
+        ]
+        cnt = _run_local(
+            bm25_index_dir, "--query", "def function", "--mode", "count"
+        )
+        assert cnt["count"] == ls.count("def function")
