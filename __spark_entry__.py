@@ -23,13 +23,15 @@ from koncorde_spark.fulltext.brute import (
     bm25_boolean_sql,
     bm25_brute_sql,
     bm25_brute_topk,
+    bm25_collapse_sql,
     bm25_fields_sql,
     bm25_fuzzy_sql,
     bm25_highlight_sql,
     bm25_phrase_sql,
     bm25_prefix_sql,
+    bm25_suggest_sql,
 )
-from koncorde_spark.fulltext.facets import search_facets_sql
+from koncorde_spark.fulltext.facets import histogram_facet_sql, search_facets_sql
 from koncorde_spark.fulltext.mlt import more_like_this_sql
 from koncorde_spark.fulltext.hybrid import hybrid_rrf_sql
 from koncorde_spark.pipeline import dedup, sampling, similarity, text
@@ -506,6 +508,97 @@ def _q_bm25_qs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_away(F.col("score"), 6).alias("score"),
     )
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _q_bm25_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after deep pagination: page 1 = topk(k), cursor = its last
+    (raw score, internal doc_id), page 2 = topk(k, after=cursor). The
+    result must be EXACTLY ranks k+1..2k of the unfiltered ranking, so
+    the oracle is the same brute ordering with OFFSET k — checking both
+    the cursor acceptance rule and that per-shard heaps stay k-deep."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    q = " ".join(BM25_QUERY_TERMS)
+    page1 = idx.topk(q, BM25_K).collect()
+    cursor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = idx.topk(q, BM25_K, after=cursor)
+    mapped = page2.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+BM25_COLLAPSE_K = 10
+
+
+def _q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing: best-scoring doc per source, top groups by that
+    score (one result per domain). Group values come from the index's own
+    docs table (repo = 'testdata/' || source), so the whole query runs on
+    index artifacts."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    groups = idx.docs.select(
+        "doc_id", F.expr("substring(repo, 10)").alias("source")
+    )
+    best = idx.collapse_topk(
+        " ".join(BM25_QUERY_TERMS), groups, BM25_COLLAPSE_K, group_col="source"
+    )
+    mapped = best.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        "source",
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# distance 3 on the synthetic vocabulary yields a multi-row result whose
+# distance-3 group (scan/stream/sort) exercises the df-desc tie order
+BM25_SUGGEST_TERM = "sprak"
+BM25_SUGGEST_DIST = 3
+BM25_SUGGEST_K = 8
+
+
+def _q_bm25_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean suggester over the index vocabulary; df in the terms
+    table equals corpus document frequency by construction, so the oracle
+    recomputes the vocabulary from the raw documents."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    return idx.suggest(BM25_SUGGEST_TERM, BM25_SUGGEST_DIST, BM25_SUGGEST_K)
+
+
+FACET_HIST_INTERVAL = 50.0
+
+
+def _q_facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation over the matching set: fixed-width n_chars
+    buckets with exact counts (one scan + one bucket-keyed hash-agg)."""
+    from koncorde_spark.fulltext.facets import histogram_facet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return histogram_facet(
+        docs, BM25_QUERY_TERMS, "n_chars", FACET_HIST_INTERVAL
+    )
 
 
 BM25_FUZZY_QUERY = "table sprak~ jion~"
@@ -1089,6 +1182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _q_search_facets,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_qs": _q_bm25_qs,
+        "bm25_after": _q_bm25_after,
+        "bm25_collapse": _q_bm25_collapse,
+        "bm25_suggest": _q_bm25_suggest,
+        "facet_histogram": _q_facet_histogram,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
@@ -1149,6 +1246,18 @@ def oracle_sql() -> dict[str, str]:
     bm25_qs = bm25_boolean_sql(
         "documents", ["spark"], ["merge", "sort"], ["hive"],
         {"merge": 2.0}, BM25_K, tie_sql=internal_id,
+    )
+    # search_after page 2 == ranks k+1..2k of the same total order
+    bm25_after = bm25_brute_sql(
+        "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id,
+        offset=BM25_K,
+    )
+    bm25_collapse = bm25_collapse_sql(
+        "documents", BM25_QUERY_TERMS, "source", BM25_COLLAPSE_K,
+        tie_sql=internal_id,
+    )
+    bm25_suggest = bm25_suggest_sql(
+        "documents", BM25_SUGGEST_TERM, BM25_SUGGEST_DIST, BM25_SUGGEST_K
     )
     _fz_lits = [t for t in BM25_FUZZY_QUERY.split() if not t.endswith("~")]
     _fz_fz = [t[:-1] for t in BM25_FUZZY_QUERY.split() if t.endswith("~")]
@@ -1252,6 +1361,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_boolean": bm25_boolean,
         "bm25_qs": bm25_qs,
+        "bm25_after": bm25_after,
+        "bm25_collapse": bm25_collapse,
+        "bm25_suggest": bm25_suggest,
+        "facet_histogram": histogram_facet_sql(
+            "documents", BM25_QUERY_TERMS, "n_chars", FACET_HIST_INTERVAL
+        ),
         "substring_grep": substring_grep,
         "regex_grep": regex_grep,
         "bm25_counts": bm25_counts,

@@ -91,6 +91,7 @@ def bm25_brute_sql(
     tie_sql: str | None = None,
     filter_where: str | None = None,
     conjunctive: bool = False,
+    offset: int = 0,
 ) -> str:
     """DuckDB twin of :func:`bm25_brute_topk` (identical tokens + formula).
 
@@ -109,7 +110,11 @@ def bm25_brute_sql(
     ``conjunctive``: AND-semantics (the oracle twin of topk(mode="all")) —
     only docs containing EVERY query term qualify; scores are unchanged
     (the tf CTE has one row per (doc, present term), so a count equal to
-    the number of distinct query terms is exactly the all-terms test)."""
+    the number of distinct query terms is exactly the all-terms test).
+
+    ``offset``: skip the first N ranks of the SAME total order — the twin
+    of topk(after=<last row of rank N>): a search_after cursor taken from
+    the previous page's last row selects exactly ranks N+1..N+k."""
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     tie = "__tie" if tie_sql else id_col
     tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
@@ -156,7 +161,7 @@ def bm25_brute_sql(
     SELECT {id_col}, round(score, 6)::DOUBLE AS score
     FROM scored
     ORDER BY {order_score} DESC, {tie} ASC
-    LIMIT {k}
+    LIMIT {k}{f" OFFSET {offset}" if offset else ""}
     """
 
 
@@ -660,5 +665,96 @@ def bm25_boolean_sql(
     SELECT {id_col}, round(score, 6)::DOUBLE AS score
     FROM scored
     ORDER BY {order_score} DESC, {tie} ASC
+    LIMIT {k}
+    """
+
+
+def bm25_collapse_sql(
+    table: str,
+    query_terms: list[str],
+    group_col: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of Bm25Index.collapse_topk (field collapsing): the
+    best-scoring doc per ``group_col`` value, top-k groups. Winner per
+    group and the global cut both break score ties by the same id the
+    engine uses (``tie_sql`` = the internal sha-derived id)."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    tie_group = ", d3.__tie" if tie_sql else ""
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col}, {group_col} AS grp{tie_proj},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}, grp{tie_carry}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    tf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      WHERE term IN ({terms})
+      GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.{id_col}, d3.grp{tie_group},
+             sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
+      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
+      GROUP BY tf.{id_col}, d3.grp{tie_group}
+    ),
+    best AS (
+      SELECT grp, {id_col}, score, {tie},
+             row_number() OVER (
+               PARTITION BY grp ORDER BY score DESC, {tie} ASC
+             ) AS r
+      FROM scored
+    )
+    SELECT grp AS {group_col}, {id_col}, round(score, 6)::DOUBLE AS score
+    FROM best WHERE r = 1
+    ORDER BY best.score DESC, {tie} ASC
+    LIMIT {k}
+    """
+
+
+def bm25_suggest_sql(
+    table: str,
+    term: str,
+    max_distance: int = 2,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of Bm25Index.suggest / LocalSearcher.suggest: the
+    corpus vocabulary (df = number of docs containing the term — exactly
+    the index's terms table by construction) filtered to levenshtein <=
+    max_distance, ranked (distance ASC, df DESC, term ASC), top k."""
+    t = term.replace("'", "''")
+    return f"""
+    WITH vocab AS (
+      SELECT term, count(DISTINCT {id_col})::BIGINT AS df
+      FROM (
+        SELECT {id_col}, unnest(
+          list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                      x -> x <> '')) AS term
+        FROM {table}
+      )
+      GROUP BY term
+    )
+    SELECT term AS suggestion, df,
+           levenshtein(term, '{t}')::INTEGER AS distance
+    FROM vocab
+    WHERE abs(len(term) - len('{t}')) <= {max_distance}
+      AND levenshtein(term, '{t}') <= {max_distance}
+    ORDER BY distance ASC, df DESC, suggestion ASC
     LIMIT {k}
     """

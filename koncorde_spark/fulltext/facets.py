@@ -78,6 +78,63 @@ def search_facets(
     )
 
 
+def histogram_facet(
+    df: DataFrame,
+    query_terms: list[str],
+    value_col: str,
+    interval: float,
+    mode: str = "any",
+    text_col: str = "text",
+) -> DataFrame:
+    """Histogram aggregation over the matching set (Elasticsearch
+    `histogram`): fixed-width buckets of ``value_col`` with exact doc
+    counts. Bucket key = floor(value / interval) * interval, NULL values
+    excluded (the ES default). One scan, one hash-agg keyed by bucket
+    (map-side combined); rows after the agg = number of buckets, so the
+    final sort is tiny. Returns (bucket, n_docs) ordered by bucket."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    bucket = (
+        F.floor(F.col(value_col).cast("double") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    ).cast("double")
+    return (
+        df.where(_match_pred(query_terms, mode, text_col))
+        .where(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def histogram_facet_sql(
+    table: str,
+    query_terms: list[str],
+    value_col: str,
+    interval: float,
+    mode: str = "any",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`histogram_facet` (same tokenizer, same
+    floor-bucket key, NULLs excluded)."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in set(query_terms))
+    toks = f"list_distinct({tokens_sql(text_col)})"
+    need = len(set(query_terms)) if mode == "all" else 1
+    hits = f"len(list_filter({toks}, t -> t IN ({terms})))"
+    iv = float(interval)
+    return f"""
+    SELECT (floor(CAST({value_col} AS DOUBLE) / {iv}) * {iv})::DOUBLE AS bucket,
+           count(*)::BIGINT AS n_docs
+    FROM {table}
+    WHERE {hits} >= {need} AND {value_col} IS NOT NULL
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
 def search_facets_sql(
     table: str,
     query_terms: list[str],

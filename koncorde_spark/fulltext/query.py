@@ -26,7 +26,14 @@ from .codecs import delta_decode, delta_encode, varint_decode
 from .indexer import read_meta
 from .phrase import decode_entry_positions, merge_term_segments, phrase_topk_shard
 from .tokenizer import tokenize_text
-from .wand import TermPostings, bm25_idf, topk_block_max_wand, topk_conjunctive
+from .wand import (
+    TermPostings,
+    bm25_idf,
+    check_after_cursor,
+    score_union,
+    topk_block_max_wand,
+    topk_conjunctive,
+)
 
 import re as _re
 
@@ -302,14 +309,24 @@ class Bm25Index:
             cols.append("avgdl_seg")
         return cols
 
-    def topk(self, query: str, k: int = 10, mode: str = "any") -> DataFrame:
+    def topk(
+        self, query: str, k: int = 10, mode: str = "any",
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
         """Top-k (doc_id, score) for a free-text query, rank-deterministic.
 
         ``mode``: "any" (default) ranks docs containing any query term
         (disjunctive, block-max WAND); "all" restricts to docs containing
         EVERY query term (conjunctive, intersection-driven — cost bounded
         by the rarest term's postings). Scores are mode-independent: a doc
-        in the "all" result carries exactly its "any" score."""
+        in the "all" result carries exactly its "any" score.
+
+        ``after``: optional (score, doc_id) search-after cursor — the last
+        row of the previous page in this engine's (score desc, doc_id asc)
+        total order. The result is exactly the next k ranks: each shard
+        keeps a k-deep heap over docs strictly after the cursor, so page
+        depth never grows the heap (Elasticsearch's search_after contract,
+        not from+size). doc_id is the INTERNAL id returned by this method."""
         if mode not in ("any", "all"):
             raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
         q_terms = sorted(set(tokenize_text(query)))
@@ -339,6 +356,7 @@ class Bm25Index:
         tomb = self.tombstones
         cctx = self._cache_ctx
         conj = mode == "all"
+        after_ = check_after_cursor(after) if after is not None else None
 
         def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(post_pdf) == 0 or len(pack_pdf) == 0:
@@ -348,10 +366,12 @@ class Bm25Index:
                 post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_, tomb, cctx
             )
             if conj:
-                ids, scores = topk_conjunctive(by_term, k_, require=len(idf_map_b))
+                ids, scores = topk_conjunctive(
+                    by_term, k_, require=len(idf_map_b), after=after_
+                )
             else:
                 tps = [tp for segs in by_term.values() for tp in segs]
-                ids, scores = topk_block_max_wand(tps, k_)
+                ids, scores = topk_block_max_wand(tps, k_, after=after_)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         per_shard_topk = (
@@ -360,6 +380,98 @@ class Bm25Index:
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
         return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def collapse_topk(
+        self, query: str, groups: DataFrame, k: int = 10,
+        group_col: str = "group",
+    ) -> DataFrame:
+        """Field collapsing: the best-scoring document PER GROUP, top-k
+        groups by that best score (Elasticsearch `collapse` — e.g. one
+        result per domain in web search).
+
+        ``groups`` maps internal doc_id → ``group_col``. Every matching
+        doc must be scored (the per-group winner can rank arbitrarily deep
+        globally), so shards emit their full scored union — the honest
+        collapse cost — then one doc_id-keyed join attaches groups and one
+        hash-agg (max_by, map-side combinable) shrinks to a row per group
+        before the tiny global top-k sort. Returns (group, doc_id, score)
+        ordered by (score desc, doc_id asc)."""
+        q_terms = sorted(set(tokenize_text(query)))
+        out_schema = T.StructType(
+            [
+                T.StructField(group_col, groups.schema[group_col].dataType),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        dfs = self._df_for(q_terms)
+        if not dfs:
+            return self.spark.createDataFrame([], out_schema)
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b, block_size = meta["k1"], meta["b"], meta["block_size"]
+        idf_map = {t: float(bm25_idf(n_docs, df)) for t, df in dfs.items()}
+        relevant = self.postings.where(F.col("term").isin(list(idf_map))).select(
+            *self._wand_columns()
+        )
+        tomb, cctx = self.tombstones, self._cache_ctx
+
+        def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(post_pdf) == 0 or len(pack_pdf) == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            by_term = _decode_shard_postings(
+                post_pdf, pack_pdf, idf_map, k1, b, avgdl, block_size, tomb, cctx
+            )
+            tps = [tp for segs in by_term.values() for tp in segs]
+            ids, scores = score_union(tps)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        scored = (
+            relevant.groupBy("shard")
+            .cogroup(self.dlpack.groupBy("shard"))
+            .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
+        )
+        best = (
+            scored.join(groups.select("doc_id", group_col), "doc_id")
+            .groupBy(group_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("score"), F.col("doc_id")),
+                    # winner per group: score desc then doc_id asc
+                    F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")),
+                ).alias("best")
+            )
+            .select(group_col, F.col("best.doc_id").alias("doc_id"),
+                    F.col("best.score").alias("score"))
+        )
+        return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def suggest(
+        self, term: str, max_distance: int = 2, k: int = 5,
+    ) -> DataFrame:
+        """Did-you-mean term suggester: vocabulary terms within
+        ``max_distance`` Levenshtein edits of ``term``, ranked by
+        (distance asc, df desc, term asc), top ``k``. The candidate scan
+        is pruned by the length band |len(t) - len(term)| <= d (a lower
+        bound on edit distance) before the expensive levenshtein, and the
+        JVM-side bounded `levenshtein(l, r, threshold)` short-circuits
+        rows past the budget — one pass over the terms table, no Python."""
+        toks = tokenize_text(term)
+        if len(toks) != 1:
+            raise ValueError(f"suggest() takes one indexable token, got {term!r}")
+        t = toks[0]
+        lo, hi = len(t) - max_distance, len(t) + max_distance
+        cand = self.terms.where(F.length("term").between(lo, hi)).withColumn(
+            "distance", F.levenshtein(F.col("term"), F.lit(t), max_distance)
+        )
+        # bounded levenshtein returns -1 past the threshold
+        return (
+            cand.where((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+            .select(F.col("term").alias("suggestion"), "df", "distance")
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("suggestion"))
+            .limit(k)
+        )
 
     def count(self, query: str, mode: str = "any") -> int:
         """Number of live documents matching the query — "any": union of

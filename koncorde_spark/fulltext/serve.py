@@ -23,7 +23,13 @@ import pyarrow.dataset as ds
 from .codecs import delta_decode, varint_decode
 from .indexer import read_meta
 from .tokenizer import tokenize_text
-from .wand import TermPostings, bm25_idf, topk_block_max_wand, topk_conjunctive
+from .wand import (
+    TermPostings,
+    bm25_idf,
+    check_after_cursor,
+    topk_block_max_wand,
+    topk_conjunctive,
+)
 
 
 def _levenshtein_capped(a: str, b: str, cap: int) -> int | None:
@@ -91,11 +97,14 @@ class LocalSearcher:
             )
 
     def topk(
-        self, query: str, k: int = 10, mode: str = "any"
+        self, query: str, k: int = 10, mode: str = "any",
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), ties broken by ascending doc_id —
         rank-identical to the distributed Bm25Index.topk path (both
-        modes: the conjunctive path shares wand.topk_conjunctive)."""
+        modes: the conjunctive path shares wand.topk_conjunctive).
+        ``after``: (score, doc_id) search-after cursor, same contract as
+        Bm25Index.topk — returns the next k ranks strictly after it."""
         if mode not in ("any", "all"):
             raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
         q_terms = sorted(set(tokenize_text(query)))
@@ -156,14 +165,17 @@ class LocalSearcher:
                 )
             )
 
+        after_ = check_after_cursor(after) if after is not None else None
         cand_ids: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []
         for shard, by_term in by_shard.items():
             if mode == "all":
-                ids, scores = topk_conjunctive(by_term, k, require=len(idf))
+                ids, scores = topk_conjunctive(
+                    by_term, k, require=len(idf), after=after_
+                )
             else:
                 tps = [tp for segs in by_term.values() for tp in segs]
-                ids, scores = topk_block_max_wand(tps, k)
+                ids, scores = topk_block_max_wand(tps, k, after=after_)
             cand_ids.append(ids)
             cand_scores.append(scores)
         if not cand_ids:
@@ -418,6 +430,29 @@ class LocalSearcher:
         hits = [(t, df) for t, df in self._df.items() if t.startswith(prefix)]
         hits.sort(key=lambda x: (-x[1], x[0]))
         return [t for t, _ in hits[:max_expansions]]
+
+    def suggest(
+        self, term: str, max_distance: int = 2, k: int = 5
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean suggester: (suggestion, df, distance) tuples
+        within ``max_distance`` edits, ranked (distance ASC, df DESC,
+        term ASC), top k — row-identical to Bm25Index.suggest."""
+        from .tokenizer import tokenize_text
+
+        toks = tokenize_text(term)
+        if len(toks) != 1:
+            raise ValueError(f"suggest() takes one indexable token, got {term!r}")
+        t0 = toks[0]
+        n = len(t0)
+        hits = []
+        for t, df in self._df.items():
+            if abs(len(t) - n) > max_distance:
+                continue
+            d = _levenshtein_capped(t0, t, max_distance)
+            if d is not None:
+                hits.append((d, -df, t))
+        hits.sort()
+        return [(t, -ndf, d) for d, ndf, t in hits[:k]]
 
     def topk_prefix(
         self, query: str, k: int = 10, max_expansions: int = 50, mode: str = "any"

@@ -47,15 +47,53 @@ def _merge_topk(
     return ids[order], scores[order]
 
 
-def topk_block_max_wand(terms: list[TermPostings], k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Top-k (doc_ids, scores) over the given term postings."""
+def check_after_cursor(after: tuple[float, int]) -> tuple[float, int]:
+    """Validate a search_after cursor. The cursor is in SORT-KEY order
+    (score, doc_id) — a swapped (doc_id, score) hit tuple would silently
+    accept everything (every score < a 63-bit id), so reject magnitudes
+    no BM25 sum can reach."""
+    s, d = float(after[0]), int(after[1])
+    if abs(s) > 1e12:
+        raise ValueError(
+            "search_after cursor is (score, doc_id) in sort-key order; "
+            f"got score={after[0]!r} (a doc_id-sized value)"
+        )
+    return s, d
+
+
+def _after_mask(
+    ids: np.ndarray, scores: np.ndarray, after: tuple[float, int]
+) -> np.ndarray:
+    """Keep only candidates STRICTLY after the ``(score, doc_id)`` cursor
+    in the engine's total order (score desc, doc_id asc) — the search_after
+    acceptance rule. Score equality is exact float64: both pages compute
+    the same decode arithmetic, so the page-1 boundary score is
+    bit-reproducible on page 2."""
+    s, d = after
+    return (scores < s) | ((scores == s) & (ids > d))
+
+
+def topk_block_max_wand(
+    terms: list[TermPostings], k: int,
+    after: tuple[float, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (doc_ids, scores) over the given term postings.
+
+    ``after``: optional (score, doc_id) cursor — only docs strictly after
+    it in (score desc, doc_id asc) order are accepted, which makes k
+    results of this call exactly ranks ``cursor_rank+1 .. cursor_rank+k``
+    of the unfiltered ranking (deep pagination without a deep heap). The
+    cursor filter runs before heap insertion, so the block-max skip
+    threshold is the kth best ACCEPTED score — still a valid lower bound
+    for pruning, since rejected (before-cursor) docs can never enter the
+    result."""
     terms = [t for t in terms if len(t.doc_ids)]
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
     total = sum(len(t.doc_ids) for t in terms)
     if total <= 1 << 17:
-        return _score_all(terms, k)
+        return _score_all(terms, k, after=after)
 
     best_ids = np.empty(0, dtype=np.int64)
     best_scores = np.empty(0, dtype=np.float64)
@@ -109,13 +147,17 @@ def topk_block_max_wand(terms: list[TermPostings], k: int) -> tuple[np.ndarray, 
         uniq, inv = np.unique(ids, return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inv, scores)
+        if after is not None:
+            keep = _after_mask(uniq, acc, after)
+            uniq, acc = uniq[keep], acc[keep]
         best_ids, best_scores = _merge_topk(best_ids, best_scores, uniq, acc, k)
 
     return best_ids, best_scores
 
 
 def topk_conjunctive(
-    by_term: dict[str, list[TermPostings]], k: int, require: int
+    by_term: dict[str, list[TermPostings]], k: int, require: int,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """ALL-terms (AND-semantics) top-k within one shard: a doc qualifies
     only if it carries EVERY query term; qualifying docs score exactly as
@@ -152,16 +194,42 @@ def topk_conjunctive(
     total = np.zeros(len(cand), dtype=np.float64)
     for ids, sc in merged:
         total += sc[np.searchsorted(ids, cand)]
+    if after is not None:
+        keep = _after_mask(cand, total, after)
+        cand, total = cand[keep], total[keep]
     order = np.lexsort((cand, -total))[:k]
     return cand[order], total[order]
 
 
-def _score_all(terms: list[TermPostings], k: int) -> tuple[np.ndarray, np.ndarray]:
+def _score_all(
+    terms: list[TermPostings], k: int,
+    after: tuple[float, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive vectorized scoring (small unions — faster than skipping)."""
     ids = np.concatenate([t.doc_ids for t in terms])
     scores = np.concatenate([t.scores for t in terms])
     uniq, inv = np.unique(ids, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, scores)
+    if after is not None:
+        keep = _after_mask(uniq, acc, after)
+        uniq, acc = uniq[keep], acc[keep]
     order = np.lexsort((uniq, -acc))[:k]
     return uniq[order], acc[order]
+
+
+def score_union(terms: list[TermPostings]) -> tuple[np.ndarray, np.ndarray]:
+    """EVERY (doc_id, score) in the union of the given postings — no top-k
+    cut. The collapse/grouping collector needs the full matching set (the
+    per-group best can rank arbitrarily deep globally), so this is the
+    honest per-shard cost of field collapsing; downstream the rows shrink
+    to one per group before any global ordering."""
+    terms = [t for t in terms if len(t.doc_ids)]
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ids = np.concatenate([t.doc_ids for t in terms])
+    scores = np.concatenate([t.scores for t in terms])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, scores)
+    return uniq, acc
