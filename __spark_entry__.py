@@ -587,6 +587,38 @@ def _q_bm25_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.suggest(BM25_SUGGEST_TERM, BM25_SUGGEST_DIST, BM25_SUGGEST_K)
 
 
+def _q_bm25_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated search over two disjoint member indexes (docs split by
+    doc_id parity — the time-partitioned-indices shape) under COMBINED
+    statistics: idf from global (N, df), dl normalized by each member's
+    own avgdl. The oracle recomputes exactly that rule in SQL, so a
+    local-idf federation (the naive merge) would hash-mismatch."""
+    from koncorde_spark.fulltext.federate import federated_topk
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    orig_id = F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long")
+    members = []
+    for par in (0, 1):
+        d = _bm25_index_dir(sf_dir) + f"_fed{par}"
+        build_index(
+            spark, corpus.where(orig_id % 2 == par), d,
+            IndexConfig(n_shards=4), resume=True,
+        )
+        members.append(Bm25Index(spark, d))
+    top = federated_topk(members, " ".join(BM25_QUERY_TERMS), BM25_K)
+    docs_all = members[0].docs.select("doc_id", "path").unionByName(
+        members[1].docs.select("doc_id", "path")
+    )
+    mapped = top.join(docs_all, "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 FACET_HIST_INTERVAL = 50.0
 
 
@@ -1183,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mlt": _q_bm25_mlt,
         "bm25_qs": _q_bm25_qs,
         "bm25_after": _q_bm25_after,
+        "bm25_federated": _q_bm25_federated,
         "bm25_collapse": _q_bm25_collapse,
         "bm25_suggest": _q_bm25_suggest,
         "facet_histogram": _q_facet_histogram,
@@ -1254,6 +1287,12 @@ def oracle_sql() -> dict[str, str]:
     )
     bm25_collapse = bm25_collapse_sql(
         "documents", BM25_QUERY_TERMS, "source", BM25_COLLAPSE_K,
+        tie_sql=internal_id,
+    )
+    from koncorde_spark.fulltext.federate import bm25_federated_sql
+
+    bm25_federated = bm25_federated_sql(
+        "documents", BM25_QUERY_TERMS, "doc_id % 2", BM25_K,
         tie_sql=internal_id,
     )
     bm25_suggest = bm25_suggest_sql(
@@ -1362,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boolean": bm25_boolean,
         "bm25_qs": bm25_qs,
         "bm25_after": bm25_after,
+        "bm25_federated": bm25_federated,
         "bm25_collapse": bm25_collapse,
         "bm25_suggest": bm25_suggest,
         "facet_histogram": histogram_facet_sql(

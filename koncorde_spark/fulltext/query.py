@@ -345,17 +345,34 @@ class Bm25Index:
             # conjunctive with a term absent from the global vocabulary can
             # match nothing — skip the job entirely
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        require = len(idf_map) if mode == "all" else None
+        per_shard_topk = self._shard_topk_frame(idf_map, k, require, after)
+        return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _shard_topk_frame(
+        self,
+        idf_map: dict[str, float],
+        k: int,
+        require: int | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Per-shard top-k candidates (no global cut) with an INJECTED idf
+        map — the building block topk() and federated search share. The
+        caller owns the idf statistics: federation passes combined-corpus
+        idf while this index's own avgdl (per segment where stamped)
+        normalizes document length, exactly what appending this index's
+        segments into one big index would score. ``require`` non-None
+        switches to conjunctive semantics with that many required terms."""
         relevant = self.postings.where(F.col("term").isin(list(idf_map))).select(
             *self._wand_columns()
         )
-
-        k1_, b_, bs_, avgdl_ = k1, b, block_size, avgdl
+        meta = self.meta
+        k1_, b_, bs_, avgdl_ = meta["k1"], meta["b"], meta["block_size"], meta["avgdl"]
         idf_map_b = idf_map
         k_ = k
         tomb = self.tombstones
         cctx = self._cache_ctx
-        conj = mode == "all"
+        require_ = require
         after_ = check_after_cursor(after) if after is not None else None
 
         def cogrouped(post_pdf: pd.DataFrame, pack_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -365,21 +382,20 @@ class Bm25Index:
             by_term = _decode_shard_postings(
                 post_pdf, pack_pdf, idf_map_b, k1_, b_, avgdl_, bs_, tomb, cctx
             )
-            if conj:
+            if require_ is not None:
                 ids, scores = topk_conjunctive(
-                    by_term, k_, require=len(idf_map_b), after=after_
+                    by_term, k_, require=require_, after=after_
                 )
             else:
                 tps = [tp for segs in by_term.values() for tp in segs]
                 ids, scores = topk_block_max_wand(tps, k_, after=after_)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
-        per_shard_topk = (
+        return (
             relevant.groupBy("shard")
             .cogroup(self.dlpack.groupBy("shard"))
             .applyInPandas(lambda pl, pr: cogrouped(pl, pr), schema=TOPK_SCHEMA)
         )
-        return per_shard_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def collapse_topk(
         self, query: str, groups: DataFrame, k: int = 10,
