@@ -510,6 +510,35 @@ def _q_bm25_qs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+# query-time synonym expansion: 'sort^2' expands to the OR of
+# {sort, merge, shuffle}, every alternate inheriting the ^2 boost
+BM25_SYN_QUERY = "spark sort^2"
+BM25_SYNONYMS = {"sort": ["merge", "shuffle"]}
+
+
+def _q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded query string; oracle = the boolean query the
+    expansion must produce (should = union, boosts inherited), so the
+    gate checks the expansion rule itself."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.fulltext.querystring import execute_query_string
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    top = execute_query_string(
+        idx, BM25_SYN_QUERY, k=BM25_K, synonyms=BM25_SYNONYMS
+    )
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _q_bm25_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """search_after deep pagination: page 1 = topk(k), cursor = its last
     (raw score, internal doc_id), page 2 = topk(k, after=cursor). The
@@ -1214,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _q_search_facets,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_qs": _q_bm25_qs,
+        "bm25_synonyms": _q_bm25_synonyms,
         "bm25_after": _q_bm25_after,
         "bm25_federated": _q_bm25_federated,
         "bm25_collapse": _q_bm25_collapse,
@@ -1279,6 +1309,11 @@ def oracle_sql() -> dict[str, str]:
     bm25_qs = bm25_boolean_sql(
         "documents", ["spark"], ["merge", "sort"], ["hive"],
         {"merge": 2.0}, BM25_K, tie_sql=internal_id,
+    )
+    bm25_synonyms = bm25_boolean_sql(
+        "documents", [], ["spark", "sort", "merge", "shuffle"], [],
+        {"sort": 2.0, "merge": 2.0, "shuffle": 2.0}, BM25_K,
+        tie_sql=internal_id,
     )
     # search_after page 2 == ranks k+1..2k of the same total order
     bm25_after = bm25_brute_sql(
@@ -1400,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_boolean": bm25_boolean,
         "bm25_qs": bm25_qs,
+        "bm25_synonyms": bm25_synonyms,
         "bm25_after": bm25_after,
         "bm25_federated": bm25_federated,
         "bm25_collapse": bm25_collapse,

@@ -453,6 +453,40 @@ def main():
     queries["bm25_qs_x5"] = round(time.time() - t0, 3)
     docs_sf.unpersist()
 
+    # --- deep pagination / collapse / suggest ------------------------------
+    def _paginate(n_pages=4, k=10):
+        after, rows = None, 0
+        for _ in range(n_pages):
+            page = idx.topk("import ident_00001 return", k, after=after).collect()
+            rows += len(page)
+            if len(page) < k:
+                break
+            after = (float(page[-1]["score"]), int(page[-1]["doc_id"]))
+        return rows
+
+    timed("bm25_after_x4pages", _paginate)
+
+    from pyspark.sql import functions as _F
+
+    groups = idx.docs.select("doc_id", _F.col("lang").alias("group"))
+    timed(
+        "bm25_collapse",
+        lambda: idx.collapse_topk(
+            "import ident_00001 return", groups, 10, group_col="group"
+        ).collect(),
+    )
+    timed("bm25_suggest", lambda: idx.suggest("improt", 2, 5).collect())
+
+    from koncorde_spark.fulltext.facets import histogram_facet
+
+    docs_sf2 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "facet_histogram",
+        lambda: histogram_facet(
+            docs_sf2, ["spark", "join", "merge"], "n_chars", 50.0
+        ).collect(),
+    )
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "suite_total",

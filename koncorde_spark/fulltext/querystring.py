@@ -145,12 +145,45 @@ def _expand(searcher, clause: Clause, max_expansions: int) -> list[str]:
     )
 
 
-def execute_query_string(searcher, qs: str, k: int = 10, max_expansions: int = 50):
+def execute_query_string(
+    searcher, qs: str, k: int = 10, max_expansions: int = 50,
+    synonyms: dict[str, list[str]] | None = None,
+):
     """Parse and run ``qs`` against ``searcher`` (Bm25Index or
     LocalSearcher). Returns whatever the underlying engine returns
     (DataFrame for the job tier, list of (doc_id, score) for the
-    serving tier)."""
+    serving tier).
+
+    ``synonyms``: optional query-time expansion map {term: [alternates]}
+    (Elasticsearch synonym filter, query side). A should-term expands to
+    the OR of itself and its alternates, each inheriting the clause's
+    boost; a must_not term excludes every alternate too (NOT of a group
+    IS a conjunction). A must-quantified term with synonyms raises — an
+    OR-group inside a conjunction is not expressible in the boolean
+    engine (same rule as ``+prefix*``). Keys and values are canonical
+    tokens; entries are applied to plain term clauses only (phrases,
+    prefix and fuzzy expansions stay literal, matching Lucene's
+    behaviour of running synonym filters on TermQuery paths)."""
     clauses = parse_query_string(qs)
+    if synonyms:
+        for c in clauses:
+            if c.kind != "term":
+                continue
+            alts = [
+                a for t in c.terms for a in synonyms.get(t, []) if a not in c.terms
+            ]
+            if not alts:
+                continue
+            if c.modifier == "+":
+                raise KoncordeParseError(
+                    f"must-quantified term +{c.text!r} has synonyms — an "
+                    "OR-group inside a conjunction is not expressible"
+                )
+            seen = set(c.terms)
+            for a in alts:
+                if a not in seen:
+                    seen.add(a)
+                    c.terms.append(a)
 
     # fast path 1: lone unmodified phrase → exact positional phrase
     if len(clauses) == 1 and clauses[0].kind == "phrase" and not clauses[0].modifier:

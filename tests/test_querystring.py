@@ -133,6 +133,45 @@ class TestDispatch:
         (_, _, _, _, boosts, _) = s.calls[-1]
         assert boosts == {"join": 3.0}
 
+    def test_synonyms_expand_should_with_inherited_boost(self):
+        s = _SpySearcher()
+        execute_query_string(
+            s, "+spark sort^2", synonyms={"sort": ["merge", "shuffle"]}
+        )
+        (_, must, should, must_not, boosts, _) = s.calls[-1]
+        assert must == ["spark"]
+        assert should == ["sort", "merge", "shuffle"]
+        assert boosts == {"sort": 2.0, "merge": 2.0, "shuffle": 2.0}
+
+    def test_synonyms_expand_must_not(self):
+        s = _SpySearcher()
+        execute_query_string(s, "spark -sort", synonyms={"sort": ["merge"]})
+        (_, _, should, must_not, _, _) = s.calls[-1]
+        assert should == ["spark"]
+        assert must_not == ["sort", "merge"]
+
+    def test_synonyms_on_must_rejected(self):
+        s = _SpySearcher()
+        with pytest.raises(KoncordeParseError):
+            execute_query_string(s, "+sort", synonyms={"sort": ["merge"]})
+
+    def test_synonyms_skip_phrase_prefix_fuzzy(self):
+        s = _SpySearcher()
+        execute_query_string(
+            s, '"sort order" merg* fuzz~ spark',
+            synonyms={"sort": ["x"], "merg": ["y"], "fuzz": ["z"]},
+        )
+        (_, must, should, must_not, boosts, _) = s.calls[-1]
+        # phrase degrades to must of its literal terms; expansions literal
+        assert must == ["sort", "order"]
+        assert "x" not in should and "y" not in should and "z" not in should
+
+    def test_synonyms_unboosted_still_wand_fast_path(self):
+        s = _SpySearcher()
+        out = execute_query_string(s, "spark sort", synonyms={"sort": ["merge"]})
+        assert out == "TOPK"
+        assert s.calls == [("topk", "spark sort merge", 10)]
+
 
 class TestServingTierExecution:
     def test_query_string_matches_direct_calls(self, bm25_pos_index_dir):
