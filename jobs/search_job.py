@@ -14,6 +14,10 @@ path, ``phrase`` the positional path, ``count`` prints totalHits only.
 Spark-free serving tier (LocalSearcher) — same kernels, same ranks —
 for index dirs that fit one machine's file system view.
 
+``--index`` accepts a comma-separated list of index dirs: the query then
+runs FEDERATED (combined global idf, per-member avgdl) on either tier;
+federation currently serves ``--mode topk`` only.
+
 Prints one JSON line: {"query": ..., "mode": ..., "k": ...,
 "hits": [{"doc_id": ..., "score": ...}, ...]} (or {"count": N}).
 """
@@ -28,6 +32,17 @@ def _run_local(args) -> dict:
     from koncorde_spark.fulltext.querystring import execute_query_string
     from koncorde_spark.fulltext.serve import LocalSearcher
 
+    dirs = args.index.split(",")
+    if len(dirs) > 1:
+        from koncorde_spark.fulltext.federate import LocalFederatedSearcher
+
+        if args.mode != "topk":
+            raise SystemExit("federated search (multiple --index) supports --mode topk")
+        hits = LocalFederatedSearcher(dirs).topk(args.query, args.k)
+        return {
+            "query": args.query, "mode": "topk", "k": args.k,
+            "hits": [{"doc_id": int(d), "score": float(s)} for d, s in hits],
+        }
     ls = LocalSearcher(args.index)
     if args.mode == "count":
         return {"query": args.query, "count": ls.count(args.query)}
@@ -55,6 +70,20 @@ def _run_spark(args) -> dict:
 
     spark = SparkSession.builder.appName("koncorde-search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    dirs = args.index.split(",")
+    if len(dirs) > 1:
+        from koncorde_spark.fulltext.federate import federated_topk
+
+        if args.mode != "topk":
+            raise SystemExit("federated search (multiple --index) supports --mode topk")
+        top = federated_topk([Bm25Index(spark, d) for d in dirs], args.query, args.k)
+        return {
+            "query": args.query, "mode": "topk", "k": args.k,
+            "hits": [
+                {"doc_id": int(r["doc_id"]), "score": float(r["score"])}
+                for r in top.collect()
+            ],
+        }
     idx = Bm25Index(spark, args.index)
     if args.mode == "count":
         return {"query": args.query, "count": idx.count(args.query)}

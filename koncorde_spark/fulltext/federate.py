@@ -7,9 +7,10 @@ then depend on where a doc landed. This module instead combines the
 global statistics first (N = Σ n_docs, df(t) = Σ df_i(t)) and pushes the
 combined idf into every index's per-shard WAND kernel, so a document
 scores identically wherever it lives. Document-length normalization
-stays per-index (each segment's own avgdl, already stamped per segment
-as ``avgdl_seg``) — exactly what appending all member indexes into one
-big index would produce, so federation and physical merge agree.
+stays per-index (each member's own corpus avgdl — the same statistic its
+segments score with when queried alone; ``avgdl_seg`` keeps WAND bounds
+exact as usual). This is Elasticsearch's cross-index shape under
+dfs_query_then_fetch: global term statistics, per-index dl statistics.
 
 Scale shape: per member index the work is the standard pruned postings
 scan + per-shard k-deep WAND (one cogroup each, no cross-index shuffle);
@@ -77,6 +78,54 @@ def federated_topk(
     ]
     union = reduce(DataFrame.unionByName, parts)
     return union.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+class LocalFederatedSearcher:
+    """Spark-free serving-tier federation: the same combined-statistics
+    rule over LocalSearcher members, rank-identical to federated_topk
+    (shared WAND kernels, shared idf arithmetic). Members load once;
+    per-query cost is one pruned postings read per member."""
+
+    def __init__(self, index_dirs: list[str]):
+        from .serve import LocalSearcher
+
+        if not index_dirs:
+            raise ValueError("LocalFederatedSearcher needs at least one index")
+        self.members = [LocalSearcher(d) for d in index_dirs]
+        k1b = {
+            (float(m.meta["k1"]), float(m.meta["b"])) for m in self.members
+        }
+        if len(k1b) != 1:
+            raise ValueError(
+                f"member indexes disagree on BM25 constants: {k1b}"
+            )
+
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "any",
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        q_terms = sorted(set(tokenize_text(query)))
+        if not q_terms:
+            return []
+        n_docs = sum(int(m.meta["n_docs"]) for m in self.members)
+        dfs: dict[str, int] = {}
+        for m in self.members:
+            for t in q_terms:
+                if t in m._df:
+                    dfs[t] = dfs.get(t, 0) + int(m._df[t])
+        if not dfs or (mode == "all" and len(dfs) < len(q_terms)):
+            return []
+        idf_map = {t: float(bm25_idf(n_docs, df)) for t, df in dfs.items()}
+        rows: list[tuple[int, float]] = []
+        for m in self.members:
+            rows.extend(m._topk_with_idf(idf_map, k, mode, after))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
 
 
 def bm25_federated_sql(

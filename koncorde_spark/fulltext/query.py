@@ -359,10 +359,10 @@ class Bm25Index:
         """Per-shard top-k candidates (no global cut) with an INJECTED idf
         map — the building block topk() and federated search share. The
         caller owns the idf statistics: federation passes combined-corpus
-        idf while this index's own avgdl (per segment where stamped)
-        normalizes document length, exactly what appending this index's
-        segments into one big index would score. ``require`` non-None
-        switches to conjunctive semantics with that many required terms."""
+        idf while this index's own corpus avgdl normalizes document
+        length (avgdl_seg corrects the WAND bounds as usual). ``require``
+        non-None switches to conjunctive semantics with that many
+        required terms."""
         relevant = self.postings.where(F.col("term").isin(list(idf_map))).select(
             *self._wand_columns()
         )

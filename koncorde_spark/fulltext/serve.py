@@ -112,6 +112,20 @@ class LocalSearcher:
                for t in q_terms if t in self._df}
         if not idf or (mode == "all" and len(idf) < len(q_terms)):
             return []
+        return self._topk_with_idf(idf, k, mode, after)
+
+    def _topk_with_idf(
+        self,
+        idf: dict[str, float],
+        k: int,
+        mode: str = "any",
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """topk with an INJECTED idf map (federation passes combined-corpus
+        idf; this member's own avgdl normalizes length — same contract as
+        Bm25Index._shard_topk_frame). Conjunctive ``require`` is the full
+        injected vocabulary size, so a member missing a term contributes
+        nothing in mode='all'."""
         k1, b = self.meta["k1"], self.meta["b"]
         avgdl, bs = self.meta["avgdl"], self.meta["block_size"]
 

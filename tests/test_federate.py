@@ -140,6 +140,30 @@ def test_combined_stats_sum(fed_members, small_corpus_pdf):
 
 
 @pytest.mark.spark
+def test_local_federated_matches_spark_tier(fed_members):
+    """Serving-tier federation is rank- and score-identical to the
+    distributed path (shared kernels, same combined statistics)."""
+    from koncorde_spark.fulltext.federate import LocalFederatedSearcher
+
+    halves, members = fed_members
+    lf = LocalFederatedSearcher([m.index_dir for m in members])
+    for q, mode in [(Q, "any"), ("import return", "all")]:
+        local = lf.topk(q, 12, mode=mode)
+        dist = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in federated_topk(members, q, 12, mode=mode).collect()
+        ]
+        assert local == dist, (q, mode)
+    # pagination parity
+    p1 = lf.topk(Q, 5)
+    cursor = (p1[-1][1], p1[-1][0])
+    assert lf.topk(Q, 5, after=cursor) == [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in federated_topk(members, Q, 5, after=cursor).collect()
+    ]
+
+
+@pytest.mark.spark
 def test_federated_rejects_mixed_constants(spark, small_corpus_pdf, tmp_path):
     from koncorde_spark.fulltext.indexer import IndexConfig, build_index
     from koncorde_spark.fulltext.query import Bm25Index

@@ -52,3 +52,26 @@ class TestSearchJobLocal:
             bm25_index_dir, "--query", "def function", "--mode", "count"
         )
         assert cnt["count"] == ls.count("def function")
+
+    def test_federated_multi_index(self, spark, small_corpus_pdf, tmp_path_factory):
+        """Comma-separated --index dirs run the serving-tier federation
+        and match LocalFederatedSearcher ranks exactly."""
+        from koncorde_spark.fulltext.federate import LocalFederatedSearcher
+        from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+
+        dirs = []
+        for par in (0, 1):
+            pdf = small_corpus_pdf[
+                small_corpus_pdf.index % 2 == par
+            ].reset_index(drop=True)
+            out = str(tmp_path_factory.mktemp(f"cli_fed{par}"))
+            build_index(spark, spark.createDataFrame(pdf).repartition(2), out,
+                        IndexConfig(n_shards=2), resume=False)
+            dirs.append(out)
+        got = _run_local(
+            ",".join(dirs), "--query", "import return", "--mode", "topk", "--k", "7"
+        )
+        want = LocalFederatedSearcher(dirs).topk("import return", 7)
+        assert [(h["doc_id"], h["score"]) for h in got["hits"]] == [
+            (int(d), float(s)) for d, s in want
+        ]
