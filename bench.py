@@ -416,6 +416,11 @@ def main():
     from koncorde_spark.fulltext.mlt import more_like_this
     from koncorde_spark.fulltext.querystring import execute_query_string
 
+    # the compaction leg above swapped this index's postings files on
+    # disk; a handle opened before a compaction must be re-opened (its
+    # DataFrames hold the pre-swap file listing)
+    idx = Bm25Index(spark, idx_dir)
+
     docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     n_docs_sf = docs_sf.count()
     timed(

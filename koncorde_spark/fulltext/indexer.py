@@ -1367,6 +1367,13 @@ def compact_index(
     ``n_term_buckets`` bounds task memory: each task compacts 1/B of a
     shard's postings (grouped by xxhash64(term) bucket) against the
     shard's dlpack, decoded once per worker via a module-level cache.
+
+    READER-REOPEN CONTRACT: a ``Bm25Index``/``LocalSearcher`` opened
+    BEFORE a compaction must be re-opened after it — its DataFrames hold
+    the pre-swap parquet file listing (refreshByPath clears the shared
+    status cache for NEW reads, but an existing InMemoryFileIndex keeps
+    its snapshot), so the next query raises FileNotFoundException on the
+    replaced fragments. Lucene's IndexReader has the same rule.
     """
     meta = read_meta(out_dir)
     config = IndexConfig(
