@@ -18,6 +18,10 @@ for index dirs that fit one machine's file system view.
 runs FEDERATED (combined global idf, per-member avgdl) on either tier;
 federation currently serves ``--mode topk`` only.
 
+Each index entry may be an ``alias:<root>#<name>`` pointer (resolved
+through <root>/aliases.json at open time — the zero-downtime reindex
+flow) or a plain directory.
+
 Prints one JSON line: {"query": ..., "mode": ..., "k": ...,
 "hits": [{"doc_id": ..., "score": ...}, ...]} (or {"count": N}).
 """
@@ -28,11 +32,24 @@ import argparse
 import json
 
 
+def _resolve(entry: str) -> str:
+    """alias:<root>#<name> -> the aliased dir; anything else verbatim."""
+    if not entry.startswith("alias:"):
+        return entry
+    from koncorde_spark.fulltext.aliases import resolve_alias
+
+    spec = entry[len("alias:"):]
+    root, sep, name = spec.rpartition("#")
+    if not sep or not root or not name:
+        raise SystemExit(f"bad alias spec {entry!r}: want alias:<root>#<name>")
+    return resolve_alias(root, name)
+
+
 def _run_local(args) -> dict:
     from koncorde_spark.fulltext.querystring import execute_query_string
     from koncorde_spark.fulltext.serve import LocalSearcher
 
-    dirs = args.index.split(",")
+    dirs = [_resolve(d) for d in args.index.split(",")]
     if len(dirs) > 1:
         from koncorde_spark.fulltext.federate import LocalFederatedSearcher
 
@@ -43,7 +60,7 @@ def _run_local(args) -> dict:
             "query": args.query, "mode": "topk", "k": args.k,
             "hits": [{"doc_id": int(d), "score": float(s)} for d, s in hits],
         }
-    ls = LocalSearcher(args.index)
+    ls = LocalSearcher(dirs[0])
     if args.mode == "count":
         return {"query": args.query, "count": ls.count(args.query)}
     if args.mode == "phrase":
@@ -70,7 +87,7 @@ def _run_spark(args) -> dict:
 
     spark = SparkSession.builder.appName("koncorde-search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dirs = args.index.split(",")
+    dirs = [_resolve(d) for d in args.index.split(",")]
     if len(dirs) > 1:
         from koncorde_spark.fulltext.federate import federated_topk
 
@@ -84,7 +101,7 @@ def _run_spark(args) -> dict:
                 for r in top.collect()
             ],
         }
-    idx = Bm25Index(spark, args.index)
+    idx = Bm25Index(spark, dirs[0])
     if args.mode == "count":
         return {"query": args.query, "count": idx.count(args.query)}
     if args.mode == "phrase":

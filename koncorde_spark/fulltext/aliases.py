@@ -1,0 +1,97 @@
+"""Index aliases: named pointers to index directories, flipped atomically.
+
+The zero-downtime reindex pattern (Elasticsearch aliases): writers build
+or compact into a NEW directory, then flip the alias; every subsequent
+open resolves the alias to the new index. This is the operational answer
+to the reader-reopen contract (compact_index docstring): instead of
+rewriting a live directory under open handles, flip a pointer and let
+each query tier re-resolve at open time.
+
+Layout: ``<root>/aliases.json`` maps alias name → {"target": <dir>,
+"updated": <monotonic generation>}. The flip is write-staged-then-rename
+— the same primitive the index swaps use — so a reader never observes a
+torn file; generations make stale-write detection possible for external
+tooling. All I/O goes through fulltext.fs (Hadoop FS for scheme-carrying
+roots, plain files locally).
+"""
+
+from __future__ import annotations
+
+from . import fs
+
+ALIASES_FILE = "aliases.json"
+
+
+def _aliases_path(root: str) -> str:
+    return root.rstrip("/") + "/" + ALIASES_FILE
+
+
+def read_aliases(root: str) -> dict:
+    """{alias: {"target": dir, "updated": gen}} — empty if none set."""
+    p = _aliases_path(root)
+    if not fs.exists(p):
+        return {}
+    return fs.read_json(p)
+
+
+def set_alias(root: str, name: str, target_dir: str) -> dict:
+    """Point ``name`` at ``target_dir`` (create or flip), atomically:
+    the updated mapping is staged to a temp file and renamed over the
+    live one. Returns the new mapping entry."""
+    if not name or "/" in name:
+        raise ValueError(f"invalid alias name: {name!r}")
+    aliases = read_aliases(root)
+    gen = max((int(a.get("updated", 0)) for a in aliases.values()), default=0) + 1
+    aliases[name] = {"target": target_dir, "updated": gen}
+    _write_staged(root, aliases)
+    return aliases[name]
+
+
+def drop_alias(root: str, name: str) -> None:
+    aliases = read_aliases(root)
+    if name not in aliases:
+        raise KeyError(f"alias not found: {name!r}")
+    del aliases[name]
+    _write_staged(root, aliases)
+
+
+def resolve_alias(root: str, name: str) -> str:
+    """The directory ``name`` currently points at. Raises KeyError for
+    an unknown alias (callers should not fall back silently — a typo'd
+    alias resolving to nothing must be loud)."""
+    aliases = read_aliases(root)
+    if name not in aliases:
+        raise KeyError(f"alias not found: {name!r} (root {root})")
+    return aliases[name]["target"]
+
+
+def _write_staged(root: str, aliases: dict) -> None:
+    import json
+
+    live = _aliases_path(root)
+    staged = live + ".staged"
+    fs.write_text(staged, json.dumps(aliases, indent=1, sort_keys=True))
+    if fs.is_local(live):
+        # os.replace: atomic overwrite, no absence window
+        fs.rename(staged, live)
+        return
+    # HDFS rename refuses an existing destination: delete first. The
+    # sub-millisecond absence window degrades a concurrent read to
+    # "no aliases yet" (KeyError at resolve), never to torn JSON.
+    if fs.exists(live):
+        fs.delete(live, recursive=False)
+    fs.rename(staged, live)
+
+
+def open_index(spark, root: str, name: str):
+    """Resolve and open the job-tier handle the alias points at."""
+    from .query import Bm25Index
+
+    return Bm25Index(spark, resolve_alias(root, name))
+
+
+def open_local(root: str, name: str):
+    """Resolve and open the serving-tier handle (Spark-free)."""
+    from .serve import LocalSearcher
+
+    return LocalSearcher(resolve_alias(root, name))

@@ -75,3 +75,19 @@ class TestSearchJobLocal:
         assert [(h["doc_id"], h["score"]) for h in got["hits"]] == [
             (int(d), float(s)) for d, s in want
         ]
+
+    def test_alias_pointer_index(self, bm25_index_dir, tmp_path_factory):
+        """alias:<root>#<name> resolves through aliases.json at open."""
+        from koncorde_spark.fulltext.aliases import set_alias
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        root = str(tmp_path_factory.mktemp("cli_alias"))
+        set_alias(root, "live", bm25_index_dir)
+        got = _run_local(
+            f"alias:{root}#live", "--query", "def function",
+            "--mode", "topk", "--k", "4",
+        )
+        want = LocalSearcher(bm25_index_dir).topk("def function", 4)
+        assert [(h["doc_id"], h["score"]) for h in got["hits"]] == [
+            (int(d), float(s)) for d, s in want
+        ]
