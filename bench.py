@@ -418,7 +418,9 @@ def main():
 
     # the compaction leg above swapped this index's postings files on
     # disk; a handle opened before a compaction must be re-opened (its
-    # DataFrames hold the pre-swap file listing)
+    # DataFrames hold the pre-swap file listing), and its executor-side
+    # caches released so they don't squat storage for the later legs
+    idx.close()
     idx = Bm25Index(spark, idx_dir)
 
     docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()

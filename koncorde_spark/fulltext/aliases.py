@@ -37,8 +37,15 @@ def read_aliases(root: str) -> dict:
 def set_alias(root: str, name: str, target_dir: str) -> dict:
     """Point ``name`` at ``target_dir`` (create or flip), atomically:
     the updated mapping is staged to a temp file and renamed over the
-    live one. Returns the new mapping entry."""
-    if not name or "/" in name:
+    live one. Returns the new mapping entry.
+
+    Concurrency contract: flips are atomic for READERS (never torn JSON),
+    but the store is last-writer-wins across concurrent WRITERS — like an
+    index build, alias administration assumes one writer at a time (ES
+    routes alias updates through one master for the same reason). Names
+    may not contain '/', '#' or ',' (reserved by the alias:<root>#<name>
+    CLI spec and the comma-separated --index list)."""
+    if not name or any(c in name for c in "/#,"):
         raise ValueError(f"invalid alias name: {name!r}")
     aliases = read_aliases(root)
     gen = max((int(a.get("updated", 0)) for a in aliases.values()), default=0) + 1
@@ -67,9 +74,14 @@ def resolve_alias(root: str, name: str) -> str:
 
 def _write_staged(root: str, aliases: dict) -> None:
     import json
+    import os
+    import uuid
 
     live = _aliases_path(root)
-    staged = live + ".staged"
+    # unique staged name: two writers racing (outside the single-writer
+    # contract) must at worst last-writer-win, never rename each other's
+    # half-written stage
+    staged = f"{live}.staged-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     fs.write_text(staged, json.dumps(aliases, indent=1, sort_keys=True))
     if fs.is_local(live):
         # os.replace: atomic overwrite, no absence window

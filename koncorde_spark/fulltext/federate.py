@@ -35,14 +35,15 @@ from .tokenizer import tokenize_text
 from .wand import bm25_idf
 
 
-def combined_stats(
-    indexes: list[Bm25Index], q_terms: list[str]
-) -> tuple[int, dict[str, int]]:
-    """(total docs, per-term summed document frequency) across members."""
-    n_docs = sum(int(ix.meta["n_docs"]) for ix in indexes)
+def combined_stats(members, q_terms: list[str]) -> tuple[int, dict[str, int]]:
+    """(total docs, per-term summed document frequency) across members.
+    A member is anything with ``.meta['n_docs']`` and ``._df_for(terms)``
+    — Bm25Index and LocalSearcher both qualify, so the two federation
+    tiers share this one statistics rule."""
+    n_docs = sum(int(m.meta["n_docs"]) for m in members)
     dfs: dict[str, int] = {}
-    for ix in indexes:
-        for t, d in ix._df_for(q_terms).items():
+    for m in members:
+        for t, d in m._df_for(q_terms).items():
             dfs[t] = dfs.get(t, 0) + int(d)
     return n_docs, dfs
 
@@ -112,12 +113,7 @@ class LocalFederatedSearcher:
         q_terms = sorted(set(tokenize_text(query)))
         if not q_terms:
             return []
-        n_docs = sum(int(m.meta["n_docs"]) for m in self.members)
-        dfs: dict[str, int] = {}
-        for m in self.members:
-            for t in q_terms:
-                if t in m._df:
-                    dfs[t] = dfs.get(t, 0) + int(m._df[t])
+        n_docs, dfs = combined_stats(self.members, q_terms)
         if not dfs or (mode == "all" and len(dfs) < len(q_terms)):
             return []
         idf_map = {t: float(bm25_idf(n_docs, df)) for t, df in dfs.items()}

@@ -178,6 +178,15 @@ def _decode_shard_postings(
     under the same position-addressing rule as the tombstone path."""
     dl_ids, dl_vals = _decode_dlpack_ctx(pack_pdf, cache_ctx)
 
+    # canonical term order: a doc's float64 score is the sum of its
+    # per-term contributions in CONCATENATION order, and post_pdf arrives
+    # in shuffle-fetch order, which can differ between two Spark jobs
+    # (e.g. page 1 vs page 2 of a search_after session). Sorting by term
+    # makes the accumulation order job-independent, so boundary-score
+    # equality in the cursor filter is exact. Within-term segment order
+    # is per-doc irrelevant (segments of a term are doc-disjoint).
+    post_pdf = post_pdf.sort_values("term", kind="mergesort")
+
     out: dict[str, list[TermPostings]] = {}
     for _, row in post_pdf.iterrows():
         n = int(row["df"])
@@ -278,6 +287,17 @@ class Bm25Index:
     # vocabularies up to this size are cached driver-side (~tens of MB);
     # beyond it df lookups stay distributed (the 10^12-file regime)
     TERMS_LOCAL_MAX = 5_000_000
+
+    def close(self) -> None:
+        """Release this handle's executor-side caches (terms, dlpack).
+        Call before discarding a handle — e.g. when re-opening after a
+        compaction (reader-reopen contract) — or the stale handle's
+        materialized caches stay pinned in executor storage."""
+        for df in (self.terms, self.dlpack):
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
 
     def _df_for(self, q_terms: list[str]) -> dict[str, int]:
         if self._terms_local is None:

@@ -96,6 +96,12 @@ class LocalSearcher:
                 varint_decode(bytes(dls_b), int(n)).astype(np.float64),
             )
 
+    def _df_for(self, q_terms: list[str]) -> dict[str, int]:
+        """term → global df for the present query terms — the same
+        accessor contract as Bm25Index._df_for, so federation's
+        combined_stats treats both tiers uniformly."""
+        return {t: int(self._df[t]) for t in q_terms if t in self._df}
+
     def topk(
         self, query: str, k: int = 10, mode: str = "any",
         after: tuple[float, int] | None = None,
@@ -136,7 +142,13 @@ class LocalSearcher:
             filter=ds.field("term").isin(list(idf)), columns=cols
         )
         by_shard: dict[int, dict[str, list[TermPostings]]] = {}
-        for i in range(tbl.num_rows):
+        # canonical term order — same rule as _decode_shard_postings: the
+        # per-doc float64 sum must accumulate terms in a job-independent
+        # order for cross-tier and cross-page bit-parity
+        order = np.argsort(
+            np.asarray(tbl["term"].to_pylist(), dtype=object), kind="stable"
+        )
+        for i in (int(j) for j in order):
             term = tbl["term"][i].as_py()
             shard = int(tbl["shard"][i].as_py())
             n = int(tbl["df"][i].as_py())
