@@ -1083,6 +1083,16 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.contamination_pairs(docs, ev)
 
 
+def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: compact m-bit filter over the
+    eval shingles gates the train scan, exact verification on survivors —
+    output EXACTLY equals contamination_pairs (no false negatives by
+    construction), so it shares that oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    return sampling.bloom_contamination_pairs(docs, ev)
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH bucket (frozen literal
     hyperplanes, cross-engine bit-identical) -> capped bucket join ->
@@ -1227,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "doc_split": _q_doc_split,
         "contamination": _q_contamination,
+        "bloom_contamination": _q_bloom_contamination,
         "crossdup": _q_crossdup,
         "source_cap": _q_source_cap,
         "strat_sample": _q_strat_sample,
@@ -1475,6 +1486,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.pii_scrub_sql("documents"),
         "pii_scrub_arrow": text.pii_scrub_sql("documents"),
         "contamination": sampling.contamination_pairs_sql(
+            "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
+        ),
+        # Bloom prefilter + exact verify == the exact op, so same oracle
+        "bloom_contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
         ),
         "crossdup": dedup.cross_doc_dup_stats_sql("documents"),

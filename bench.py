@@ -530,7 +530,10 @@ def main():
             sc = S.run_protocol(
                 scaling_rows, base_n=8, repeats=repeats, with_probe=True, pinned=pinned
             )
-            tag = os.environ.get("BENCH_ROUND", "r4")
+            # default tag must NOT collide with a round-tagged artifact
+            # (an untagged run would silently clobber that round's
+            # scaling evidence) — rounds set BENCH_ROUND explicitly
+            tag = os.environ.get("BENCH_ROUND", "latest")
             detail_dir = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "BENCH"
             )
