@@ -34,7 +34,7 @@ from koncorde_spark.fulltext.brute import (
 from koncorde_spark.fulltext.facets import histogram_facet_sql, search_facets_sql
 from koncorde_spark.fulltext.mlt import more_like_this_sql
 from koncorde_spark.fulltext.hybrid import hybrid_rrf_sql
-from koncorde_spark.pipeline import dedup, sampling, similarity, text
+from koncorde_spark.pipeline import chunking, dedup, sampling, similarity, text
 from koncorde_spark.rounding import round_away as _round_away
 
 
@@ -1083,6 +1083,28 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.contamination_pairs(docs, ev)
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: overlapping token windows with stable
+    (doc_id, chunk_idx) identities, pure Catalyst (no shuffle/UDF)."""
+    from koncorde_spark.pipeline.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document (tagging/routing surface)."""
+    from koncorde_spark.pipeline.chunking import doc_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_keywords(docs, 5)
+
+
 def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination: compact m-bit filter over the
     eval shingles gates the train scan, exact verification on survivors —
@@ -1238,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _q_doc_split,
         "contamination": _q_contamination,
         "bloom_contamination": _q_bloom_contamination,
+        "doc_chunks": _q_doc_chunks,
+        "doc_keywords": _q_doc_keywords,
         "crossdup": _q_crossdup,
         "source_cap": _q_source_cap,
         "strat_sample": _q_strat_sample,
@@ -1492,6 +1516,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
         ),
+        "doc_chunks": chunking.chunk_documents_sql(
+            "documents", CHUNK_TOKENS, CHUNK_OVERLAP
+        ),
+        "doc_keywords": chunking.doc_keywords_sql("documents", 5),
         "crossdup": dedup.cross_doc_dup_stats_sql("documents"),
         "source_cap": sampling.cap_per_source_sql("documents", cap=15),
         "strat_sample": sampling.stratified_sample_sql(
