@@ -173,3 +173,59 @@ def test_multifield_plan_pushes_terms_per_field(spark, bm25_index_dir):
     plan = executed_plan(mf.topk("import return", 5))
     assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.spark
+def test_chunking_plan_is_narrow(spark):
+    """Chunking is one projection + one explode: no Exchange, no
+    Python (whole-stage codegen end to end)."""
+    from koncorde_spark.pipeline.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(chunk_documents(docs, 32, 8))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Generate explode" in plan
+
+
+@pytest.mark.spark
+def test_histogram_facet_single_agg_shuffle(spark):
+    """One hash-agg keyed by bucket with a map-side partial: exactly one
+    Exchange, and it is preceded by a partial HashAggregate."""
+    from koncorde_spark.fulltext.facets import histogram_facet
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(
+        histogram_facet(docs, ["spark", "join"], "n_chars", 50.0)
+    )
+    # AQE plans show shuffles as Exchange nodes; the bucket agg is the
+    # only one (the final orderBy collapses on tiny bucket cardinality)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+@pytest.mark.spark
+def test_doc_keywords_window_is_partitioned(spark):
+    """The per-doc top-k window partitions by doc_id — never a
+    single-partition WindowExec."""
+    from koncorde_spark.pipeline.chunking import doc_keywords
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = executed_plan(doc_keywords(docs, 3))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+
+
+@pytest.mark.spark
+def test_collapse_groups_aggregate_before_global_sort(spark, bm25_index_dir):
+    """Field collapsing: the max_by per group is a hash aggregate with a
+    map-side partial (rows shrink to one per group BEFORE the tiny global
+    top-k sort-limit)."""
+    from koncorde_spark.fulltext.query import Bm25Index
+
+    idx = Bm25Index(spark, bm25_index_dir)
+    groups = idx.docs.select("doc_id", F.col("lang").alias("group"))
+    plan = executed_plan(idx.collapse_topk("import return", groups, 5))
+    assert "max_by" in plan or "partial_max_by" in plan, plan
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
