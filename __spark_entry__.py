@@ -564,6 +564,36 @@ def _q_bm25_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+BM25_RESCORE_WINDOW, BM25_RESCORE_WEIGHT = 50, 0.05
+
+
+def _q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-bounded function-score rescoring: top-50 by BM25, then
+    score + 0.05 * ln(1 + dl) re-ranked to top-k. The boost signal is
+    the index's own doc length, so the oracle derives it from the same
+    tokenizer (len(toks))."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    boosts = idx.docs.select(
+        "doc_id", F.log(F.lit(1.0) + F.col("dl")).alias("boost")
+    )
+    top = idx.topk_rescored(
+        " ".join(BM25_QUERY_TERMS), boosts, BM25_K,
+        window=BM25_RESCORE_WINDOW, weight=BM25_RESCORE_WEIGHT,
+    )
+    mapped = top.join(idx.docs.select("doc_id", "path"), "doc_id").select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        _round_away(F.col("score"), 6).alias("score"),
+    )
+    return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 BM25_COLLAPSE_K = 10
 
 
@@ -1280,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_qs": _q_bm25_qs,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_after": _q_bm25_after,
+        "bm25_rescore": _q_bm25_rescore,
         "bm25_federated": _q_bm25_federated,
         "bm25_collapse": _q_bm25_collapse,
         "bm25_suggest": _q_bm25_suggest,
@@ -1359,7 +1390,14 @@ def oracle_sql() -> dict[str, str]:
         "documents", BM25_QUERY_TERMS, "source", BM25_COLLAPSE_K,
         tie_sql=internal_id,
     )
+    from koncorde_spark.fulltext.brute import bm25_rescore_sql
     from koncorde_spark.fulltext.federate import bm25_federated_sql
+
+    bm25_rescore = bm25_rescore_sql(
+        "documents", BM25_QUERY_TERMS, "ln(1 + dl)", BM25_K,
+        window=BM25_RESCORE_WINDOW, weight=BM25_RESCORE_WEIGHT,
+        tie_sql=internal_id,
+    )
 
     bm25_federated = bm25_federated_sql(
         "documents", BM25_QUERY_TERMS, "doc_id % 2", BM25_K,
@@ -1472,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_qs": bm25_qs,
         "bm25_synonyms": bm25_synonyms,
         "bm25_after": bm25_after,
+        "bm25_rescore": bm25_rescore,
         "bm25_federated": bm25_federated,
         "bm25_collapse": bm25_collapse,
         "bm25_suggest": bm25_suggest,

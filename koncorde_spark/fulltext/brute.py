@@ -758,3 +758,63 @@ def bm25_suggest_sql(
     ORDER BY distance ASC, df DESC, suggestion ASC
     LIMIT {k}
     """
+
+
+def bm25_rescore_sql(
+    table: str,
+    query_terms: list[str],
+    boost_sql: str,
+    k: int = 10,
+    window: int = 100,
+    weight: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_sql: str | None = None,
+) -> str:
+    """DuckDB twin of Bm25Index.topk_rescored: top-``window`` docs by raw
+    BM25 (same window cut the engine makes, tie-broken by ``tie_sql``),
+    then score + weight * ``boost_sql`` (an expression over the d3 CTE's
+    columns — {id_col}, dl, toks) re-ranked to the top k."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    tie = "__tie" if tie_sql else id_col
+    tie_proj = f", {tie_sql} AS __tie" if tie_sql else ""
+    tie_carry = ", __tie" if tie_sql else ""
+    tie_group = ", d3.__tie" if tie_sql else ""
+    return f"""
+    WITH d2 AS (
+      SELECT {id_col}{tie_proj},
+             list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9_]+'),
+                         t -> t <> '') AS toks
+      FROM {table}
+    ), d3 AS (SELECT {id_col}{tie_carry}, toks, len(toks) AS dl FROM d2),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+    tf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(toks) AS term FROM d3)
+      WHERE term IN ({terms})
+      GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.{id_col}{tie_group},
+             sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * d3.dl / stats.avgdl))) AS score
+      FROM tf JOIN dfreq USING(term) JOIN d3 USING({id_col}) CROSS JOIN stats
+      GROUP BY tf.{id_col}{tie_group}
+    ),
+    win AS (
+      SELECT * FROM scored ORDER BY scored.score DESC, {tie} ASC LIMIT {window}
+    ),
+    rescored AS (
+      SELECT win.{id_col}{", win.__tie" if tie_sql else ""},
+             win.score + {weight} * ({boost_sql}) AS score
+      FROM win JOIN d3 USING({id_col})
+    )
+    SELECT {id_col}, round(score, 6)::DOUBLE AS score
+    FROM rescored
+    ORDER BY rescored.score DESC, {tie} ASC
+    LIMIT {k}
+    """

@@ -483,6 +483,37 @@ class Bm25Index:
         )
         return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def topk_rescored(
+        self,
+        query: str,
+        boosts: DataFrame,
+        k: int = 10,
+        window: int = 100,
+        weight: float = 1.0,
+        boost_col: str = "boost",
+    ) -> DataFrame:
+        """Window-bounded rescoring (Elasticsearch `rescore` /
+        function_score): take the top ``window`` docs by BM25, add
+        ``weight *`` the per-doc signal from ``boosts`` (internal doc_id →
+        ``boost_col``; docs absent from it boost 0), re-rank, return the
+        top k. The expensive ranking stays WAND-pruned at window depth;
+        the rescore pass touches only ``window`` rows — the standard way
+        to mix a quality/recency/popularity signal into lexical rank
+        without scoring the corpus against it."""
+        if window < k:
+            raise ValueError(f"window ({window}) must be >= k ({k})")
+        base = self.topk(query, window)
+        rescored = base.join(
+            boosts.select("doc_id", boost_col), "doc_id", "left"
+        ).select(
+            "doc_id",
+            (
+                F.col("score")
+                + F.lit(float(weight)) * F.coalesce(F.col(boost_col), F.lit(0.0))
+            ).alias("score"),
+        )
+        return rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def suggest(
         self, term: str, max_distance: int = 2, k: int = 5,
     ) -> DataFrame:

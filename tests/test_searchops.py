@@ -262,3 +262,41 @@ def test_histogram_facet_matches_pandas(spark):
         .sort_index()
     )
     assert got == [(float(b), int(c)) for b, c in exp.items()]
+
+
+@pytest.mark.spark
+def test_rescore_matches_pandas_and_reorders(spark, small_corpus_pdf, bm25_index_dir):
+    """Window-bounded rescoring: top-window by BM25, + weight*boost,
+    re-ranked — checked against a pandas recompute; the signal must
+    actually be able to reorder (weight chosen above the score spread)."""
+    from koncorde_spark.fulltext.query import Bm25Index
+    from pyspark.sql import functions as F
+
+    idx = Bm25Index(spark, bm25_index_dir)
+    boosts = idx.docs.select(
+        "doc_id", F.log(F.lit(1.0) + F.col("dl")).alias("boost")
+    )
+    window, k, weight = 30, 10, 0.5
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in idx.topk_rescored(Q, boosts, k, window, weight).collect()
+    ]
+    base = bm25_oracle_topk(small_corpus_pdf, Q, window)
+    dl_of = {
+        int(r["doc_id"]): float(r["dl"])
+        for r in idx.docs.select("doc_id", "dl").collect()
+    }
+    rescored = sorted(
+        (
+            (-(s + weight * np.log(1.0 + dl_of[int(d)])), int(d))
+            for d, s in zip(base["doc_id"], base["score"])
+        ),
+    )[:k]
+    exp = [(d, -negs) for negs, d in rescored]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-12)
+    plain = [int(r["doc_id"]) for r in idx.topk(Q, k).collect()]
+    assert [d for d, _ in got] != plain  # the signal reordered the page
+
+    with pytest.raises(ValueError, match="window"):
+        idx.topk_rescored(Q, boosts, k=10, window=5)
