@@ -484,6 +484,32 @@ def main():
     )
     timed("bm25_suggest", lambda: idx.suggest("improt", 2, 5).collect())
 
+    boosts = idx.docs.select(
+        "doc_id", _F.log(_F.lit(1.0) + _F.col("dl")).alias("boost")
+    )
+    timed(
+        "bm25_rescore",
+        lambda: idx.topk_rescored(
+            "import ident_00001 return", boosts, 10, window=100, weight=0.05
+        ).collect(),
+    )
+
+    from koncorde_spark.pipeline.chunking import chunk_documents, doc_keywords
+
+    docs_ck = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "doc_chunks",
+        lambda: chunk_documents(docs_ck, 64, 8)
+        .agg(_F.count(_F.lit(1)), _F.bit_xor(_F.xxhash64("chunk_text")))
+        .collect(),
+    )
+    timed(
+        "doc_keywords",
+        lambda: doc_keywords(docs_ck, 5)
+        .agg(_F.count(_F.lit(1)), _F.bit_xor(_F.xxhash64("term")))
+        .collect(),
+    )
+
     from koncorde_spark.fulltext.facets import histogram_facet
 
     docs_sf2 = spark.read.parquet(f"{sf_dir}/documents.parquet")
