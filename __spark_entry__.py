@@ -31,7 +31,11 @@ from koncorde_spark.fulltext.brute import (
     bm25_prefix_sql,
     bm25_suggest_sql,
 )
-from koncorde_spark.fulltext.facets import histogram_facet_sql, search_facets_sql
+from koncorde_spark.fulltext.facets import (
+    histogram_facet_sql,
+    search_facets_sql,
+    significant_terms_sql,
+)
 from koncorde_spark.fulltext.mlt import more_like_this_sql
 from koncorde_spark.fulltext.hybrid import hybrid_rrf_sql
 from koncorde_spark.pipeline import chunking, dedup, sampling, similarity, text
@@ -678,6 +682,21 @@ def _q_bm25_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+SIGTERMS_TOP_N, SIGTERMS_MIN_DC = 15, 3
+
+
+def _q_search_sigterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms: JLH-scored terms over-represented in the
+    matching set vs the corpus — one tokenize, one term-keyed hash-agg
+    carrying foreground and background counts together."""
+    from koncorde_spark.fulltext.facets import significant_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return significant_terms(
+        docs, BM25_QUERY_TERMS, SIGTERMS_TOP_N, SIGTERMS_MIN_DC
+    )
+
+
 FACET_HIST_INTERVAL = 50.0
 
 
@@ -1135,6 +1154,21 @@ def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(docs, 5)
 
 
+# budgets that bite at both scales: src2's cut lands mid-source, src3's
+# budget exceeds the whole source (kept = all)
+MIX_BUDGETS = {"src1": 600, "src2": 300, "src3": 50000}
+
+
+def _q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: per-source token budgets, md5-ordered
+    prefix kept (inclusive cumsum <= budget), undeclared sources
+    dropped."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.mix_by_token_budget(docs, MIX_BUDGETS).orderBy(
+        "source", "cum_tokens"
+    )
+
+
 def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination: compact m-bit filter over the
     eval shingles gates the train scan, exact verification on survivors —
@@ -1290,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _q_doc_split,
         "contamination": _q_contamination,
         "bloom_contamination": _q_bloom_contamination,
+        "mix_budget": _q_mix_budget,
         "doc_chunks": _q_doc_chunks,
         "doc_keywords": _q_doc_keywords,
         "crossdup": _q_crossdup,
@@ -1315,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapse": _q_bm25_collapse,
         "bm25_suggest": _q_bm25_suggest,
         "facet_histogram": _q_facet_histogram,
+        "search_sigterms": _q_search_sigterms,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
@@ -1517,6 +1553,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_histogram": histogram_facet_sql(
             "documents", BM25_QUERY_TERMS, "n_chars", FACET_HIST_INTERVAL
         ),
+        "search_sigterms": significant_terms_sql(
+            "documents", BM25_QUERY_TERMS, SIGTERMS_TOP_N, SIGTERMS_MIN_DC
+        ),
         "substring_grep": substring_grep,
         "regex_grep": regex_grep,
         "bm25_counts": bm25_counts,
@@ -1554,6 +1593,9 @@ def oracle_sql() -> dict[str, str]:
         # Bloom prefilter + exact verify == the exact op, so same oracle
         "bloom_contamination": sampling.contamination_pairs_sql(
             "documents", "(SELECT * FROM documents WHERE doc_id % 25 = 0)"
+        ),
+        "mix_budget": sampling.mix_by_token_budget_sql(
+            "documents", MIX_BUDGETS
         ),
         "doc_chunks": chunking.chunk_documents_sql(
             "documents", CHUNK_TOKENS, CHUNK_OVERLAP

@@ -78,6 +78,123 @@ def search_facets(
     )
 
 
+def significant_terms(
+    df: DataFrame,
+    query_terms: list[str],
+    top_n: int = 10,
+    min_doc_count: int = 3,
+    mode: str = "any",
+    text_col: str = "text",
+) -> DataFrame:
+    """Terms UNUSUALLY frequent in the matching set vs the whole corpus
+    (Elasticsearch `significant_terms`): for each term, fg = matching
+    docs containing it, bg = corpus docs containing it; score is the
+    JLH heuristic (fg_rate - bg_rate) * (fg_rate / bg_rate), rates being
+    per-doc-frequency fractions of their sets. Query terms themselves
+    are excluded (they'd trivially dominate), as are terms under
+    ``min_doc_count`` foreground docs. Returns (term, fg_count,
+    bg_count, score), top_n by (score desc, term asc).
+
+    Scale shape: ONE tokenize projection feeds both sides — per-doc
+    distinct terms explode once, carrying an is-match flag, so fg and bg
+    are two conditional counts in the SAME hash-agg (one shuffle keyed
+    by term); the top-n sort runs over distinct terms only."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    qset = sorted(set(query_terms))
+    toks = df.select(
+        F.array_distinct(tokens_col(text_col)).alias("__t"),
+        _match_pred(query_terms, mode, text_col).alias("__m"),
+    )
+    totals = toks.agg(
+        F.count("*").alias("n_bg"),
+        F.sum(F.col("__m").cast("long")).alias("n_fg"),
+    ).collect()[0]
+    n_bg, n_fg = int(totals["n_bg"]), int(totals["n_fg"] or 0)
+    if n_fg == 0:
+        return self_schema_empty(df.sparkSession)
+    counts = (
+        toks.select(F.explode("__t").alias("term"), "__m")
+        .where(~F.col("term").isin(qset))
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("__m").cast("long")).alias("fg_count"),
+            F.count("*").alias("bg_count"),
+        )
+        .where(F.col("fg_count") >= min_doc_count)
+    )
+    fg_rate = F.col("fg_count") / F.lit(float(n_fg))
+    bg_rate = F.col("bg_count") / F.lit(float(n_bg))
+    from koncorde_spark.rounding import round_away
+
+    scored = counts.select(
+        "term",
+        F.col("fg_count").cast("long").alias("fg_count"),
+        F.col("bg_count").cast("long").alias("bg_count"),
+        round_away((fg_rate - bg_rate) * (fg_rate / bg_rate), 6).alias("score"),
+    ).where(F.col("score") > 0)
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(top_n)
+
+
+def self_schema_empty(spark):
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("fg_count", T.LongType()),
+                T.StructField("bg_count", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+
+
+def significant_terms_sql(
+    table: str,
+    query_terms: list[str],
+    top_n: int = 10,
+    min_doc_count: int = 3,
+    mode: str = "any",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`significant_terms` (same tokenizer, same
+    JLH score, same exclusions)."""
+    qset = sorted(set(query_terms))
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in qset)
+    toks = f"list_distinct({tokens_sql(text_col)})"
+    need = len(qset) if mode == "all" else 1
+    hits = f"len(list_filter({toks}, t -> t IN ({terms})))"
+    return f"""
+    WITH d AS (
+      SELECT {toks} AS t, ({hits} >= {need}) AS m FROM {table}
+    ),
+    tot AS (SELECT count(*) AS n_bg, sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_fg FROM d),
+    c AS (
+      SELECT term,
+             sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+             count(*)::BIGINT AS bg_count
+      FROM (SELECT unnest(t) AS term, m FROM d)
+      WHERE term NOT IN ({terms})
+      GROUP BY term
+      HAVING sum(CASE WHEN m THEN 1 ELSE 0 END) >= {min_doc_count}
+    ),
+    scored AS (
+      SELECT term, fg_count, bg_count,
+             round(((fg_count / (tot.n_fg * 1.0)) - (bg_count / (tot.n_bg * 1.0)))
+                   * ((fg_count / (tot.n_fg * 1.0)) / (bg_count / (tot.n_bg * 1.0))),
+                   6)::DOUBLE AS score
+      FROM c CROSS JOIN tot
+    )
+    SELECT term, fg_count, bg_count, score
+    FROM scored WHERE score > 0
+    ORDER BY score DESC, term ASC
+    LIMIT {top_n}
+    """
+
+
 def histogram_facet(
     df: DataFrame,
     query_terms: list[str],

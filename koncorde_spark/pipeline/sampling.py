@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _shingles_from_hashes, _shingles_sql, _token_hashes_spark
-from .text import tokens_col
+from .text import tokens_col, tokens_sql
 
 SPLIT_BUCKETS = 1_000_000  # split granularity: 1e-6 weight resolution
 
@@ -598,3 +598,94 @@ def bloom_contamination_pairs(
         text_col=text_col, train_id=train_id, test_id=test_id,
         shingle_k=shingle_k, min_overlap_frac=min_overlap_frac,
     )
+
+
+def mix_by_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic data mixing: give each source a TOKEN budget and
+    keep its md5-ordered prefix of documents whose cumulative token
+    count stays within it (inclusive cumsum <= budget — never
+    overshoots). Sources absent from ``budgets`` are dropped: the output
+    is exactly the declared mixture. Returns (id, source, n_tokens,
+    cum_tokens, kept) for auditability; downstream filters on ``kept``.
+
+    The order is md5(seed:id) with id tie-break — the same pure-function
+    rank as cap_per_source, so reruns, repartitions and corpus growth
+    never swap which rows survive (growth only appends to each source's
+    tail). Scale shape: one partitioned window per source (exact global
+    cumsum is order-defined — same trade as the reference form of
+    sequence packing); per-source partitions are the honest cost of an
+    exact budget, and a pathological mega-source serializes only its own
+    partition."""
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    key = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    budget_map = F.create_map(
+        *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(int(b)))]
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+            h.alias("__h"),
+        )
+        .where(F.col(source_col).isin(list(budgets)))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= budget_map[F.col(source_col)]).alias("kept"),
+        )
+    )
+
+
+def mix_by_token_budget_sql(
+    table: str,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`mix_by_token_budget`."""
+    vals = ", ".join(
+        f"('{s}', {int(b)})" for s, b in sorted(budgets.items())
+    )
+    srcs = ", ".join(f"'{s}'" for s in sorted(budgets))
+    return f"""
+    WITH b(src, budget) AS (VALUES {vals}),
+    d AS (
+      SELECT {id_col}, {source_col},
+             len({tokens_sql(text_col)})::BIGINT AS n_tokens,
+             (('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM {table}
+      WHERE {source_col} IN ({srcs})
+    ),
+    c AS (
+      SELECT {id_col}, {source_col}, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY {source_col}
+               ORDER BY h ASC, {id_col} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum_tokens
+      FROM d
+    )
+    SELECT {id_col}, {source_col}, n_tokens, cum_tokens,
+           (cum_tokens <= b.budget) AS kept
+    FROM c JOIN b ON b.src = c.{source_col}
+    """

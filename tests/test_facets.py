@@ -99,3 +99,46 @@ class TestSearchFacets:
             search_facets(sdf, ["x"], [])
         with pytest.raises(ValueError):
             search_facets(sdf, ["x"], ["lang"], mode="most")
+
+
+@pytest.mark.spark
+class TestSignificantTerms:
+    def test_planted_overrepresented_term(self, spark):
+        from koncorde_spark.fulltext.facets import significant_terms
+
+        rows = []
+        # 10 matching docs all carry 'signal'; 40 background docs don't
+        for i in range(10):
+            rows.append((i, f"query signal pad_{i}"))
+        for i in range(10, 50):
+            rows.append((i, f"noise filler pad_{i}"))
+        # 'pad_*' are unique per doc (df=1 each -> under min_doc_count);
+        # 'noise'/'filler' never co-occur with the query
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = significant_terms(df, ["query"], top_n=5, min_doc_count=3).collect()
+        assert got, "planted term must surface"
+        assert got[0]["term"] == "signal"
+        assert int(got[0]["fg_count"]) == 10 and int(got[0]["bg_count"]) == 10
+        terms = {r["term"] for r in got}
+        assert "query" not in terms        # query terms excluded
+        assert "noise" not in terms        # zero foreground -> filtered
+        assert not any(t.startswith("pad_") for t in terms)  # min_doc_count
+
+    def test_duckdb_parity(self, spark):
+        from koncorde_spark.fulltext.facets import (
+            significant_terms,
+            significant_terms_sql,
+        )
+
+        pdf = _fixture()
+        got = (
+            significant_terms(
+                spark.createDataFrame(pdf), ["spark"], top_n=5, min_doc_count=1
+            ).toPandas().reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = con.execute(
+            significant_terms_sql("documents", ["spark"], 5, 1)
+        ).df()
+        assert got.equals(want)

