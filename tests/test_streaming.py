@@ -388,3 +388,65 @@ class TestStreamingJsonPercolation:
             (1, f_click),
             (2, f_deep),
         }
+
+
+@pytest.mark.spark
+def test_trending_terms_matches_batch(spark, tmp_path):
+    """Streamed windowed term df equals the batch equivalent, and the
+    distinct-per-doc rule holds (a term repeated in one doc counts once)."""
+    import datetime
+
+    from koncorde_spark.streaming.trending import trending_terms
+    from koncorde_spark.pipeline.text import tokens_col
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "trend_src")
+    base = datetime.datetime(2026, 1, 1, 9, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            # 'hot hot hot' stresses the distinct rule; 'w<i>' is noise
+            "text": [
+                ("hot hot hot " if i % 3 == 0 else "cold ") + f"w{i}"
+                for i in range(60)
+            ],
+            "ts": [base + datetime.timedelta(seconds=40 * i) for i in range(60)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    expected = {
+        (r.ws, r.term, int(r.n_docs))
+        for r in batch_df.select(
+            "ts", F.explode(F.array_distinct(tokens_col("text"))).alias("term")
+        )
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "term")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select(F.col("w.start").alias("ws"), "term", "n_docs")
+        .collect()
+    }
+    assert any(t == "hot" for _, t, _ in expected)
+    # distinct rule: per 10-min window (15 docs), every 3rd doc has 'hot'
+    hot_counts = {n for _, t, n in expected if t == "hot"}
+    assert hot_counts == {5}
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = trending_terms(stream, "ts", window="10 minutes", min_count=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trending_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["term"], int(r["n_docs"]))
+        for r in spark.sql("select * from trending_test").collect()
+    }
+    assert got == expected
+
+    with pytest.raises(ValueError):
+        trending_terms(batch_df, "ts")
