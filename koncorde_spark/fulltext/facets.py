@@ -102,9 +102,20 @@ def significant_terms(
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
     qset = sorted(set(query_terms))
-    toks = df.select(
-        F.array_distinct(tokens_col(text_col)).alias("__t"),
-        _match_pred(query_terms, mode, text_col).alias("__m"),
+    qarr = F.array(*[F.lit(t) for t in qset])
+    # the is-match flag derives from the PROJECTED token array (one
+    # tokenize), and the projection is checkpointed so the totals job and
+    # the counts agg share its materialization instead of re-tokenizing
+    # the corpus twice
+    match = (
+        F.size(F.array_intersect(F.col("__t"), qarr)) >= len(qset)
+        if mode == "all"
+        else F.arrays_overlap(F.col("__t"), qarr)
+    )
+    toks = (
+        df.select(F.array_distinct(tokens_col(text_col)).alias("__t"))
+        .withColumn("__m", match)
+        .localCheckpoint()
     )
     totals = toks.agg(
         F.count("*").alias("n_bg"),
@@ -112,7 +123,7 @@ def significant_terms(
     ).collect()[0]
     n_bg, n_fg = int(totals["n_bg"]), int(totals["n_fg"] or 0)
     if n_fg == 0:
-        return self_schema_empty(df.sparkSession)
+        return _empty_sigterms(df.sparkSession)
     counts = (
         toks.select(F.explode("__t").alias("term"), "__m")
         .where(~F.col("term").isin(qset))
@@ -136,7 +147,9 @@ def significant_terms(
     return scored.orderBy(F.desc("score"), F.asc("term")).limit(top_n)
 
 
-def self_schema_empty(spark):
+def _empty_sigterms(spark):
+    """Empty (term, fg_count, bg_count, score) frame — the zero-match
+    result of :func:`significant_terms`."""
     from pyspark.sql import types as T
 
     return spark.createDataFrame(

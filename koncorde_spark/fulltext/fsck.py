@@ -8,12 +8,15 @@ per-row metadata):
 
 - stats-commit stamp: terms dir and meta.json from the same commit
 - manifests: every shard 0..n_shards-1 covered for docs/dlpack/postings,
-  manifest row counts equal to the parquet row counts they describe
+  manifest row counts equal to the parquet row counts they describe,
+  and each shard's dlpack ``n`` equal to its docs row count
 - corpus stats: docs rows == meta.n_docs, avg(docs.dl) == meta.avgdl,
   count(terms) == meta.n_terms
 - df consistency: per term, sum of segment dfs in postings == terms.df
   (segments of a term are doc-disjoint, so entry counts add)
-- tombstones: sorted unique ids that all exist in docs
+- tombstones: every RAW on-disk id resolves to a doc (checked with a
+  full anti-join, not a sample; duplicates are legal — deletes are
+  append-only and decode dedups)
 
 Returns a report dict {check: {"ok": bool, "detail": str}} plus an "ok"
 aggregate; raise_on_error=True turns any failure into IndexCorruption.
@@ -34,7 +37,6 @@ from .indexer import (
     _read_manifests,
     read_meta,
     read_stats_version,
-    read_tombstones,
 )
 
 
@@ -73,10 +75,7 @@ def fsck_index(
     postings = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(index_dir, "postings")
     )
-    for stage, df, count_col in (
-        ("docs", docs, None),
-        ("postings", postings, None),
-    ):
+    for stage, df in (("docs", docs), ("postings", postings)):
         man = _read_manifests(index_dir, stage, fp)
         missing = sorted(set(range(n_shards)) - set(man))
         if missing:
@@ -95,6 +94,33 @@ def fsck_index(
             f"manifest_{stage}",
             not bad,
             f"row mismatches {bad}" if bad else f"{n_shards} shards",
+        )
+
+    # --- dlpack: manifest coverage + per-shard pack count matches docs ------
+    dlpack = spark.read.parquet(os.path.join(index_dir, "dlpack"))
+    dl_man = _read_manifests(index_dir, "dlpack", fp)
+    dl_missing = sorted(set(range(n_shards)) - set(dl_man))
+    if dl_missing:
+        record("manifest_dlpack", False, f"missing shards {dl_missing}")
+    else:
+        docs_per_shard = {
+            int(r["shard"]): int(r["n"])
+            for r in docs.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        pack_n = {
+            int(r["shard"]): int(r["n"])
+            for r in dlpack.select("shard", "n").collect()
+        }
+        # every shard with docs needs exactly its doc count packed
+        bad = {
+            s: (nd, pack_n.get(s))
+            for s, nd in docs_per_shard.items()
+            if pack_n.get(s) != nd
+        }
+        record(
+            "manifest_dlpack",
+            not bad,
+            f"pack/doc count mismatches {bad}" if bad else f"{n_shards} shards",
         )
 
     # --- corpus statistics agree with meta ---------------------------------
@@ -135,19 +161,24 @@ def fsck_index(
         ),
     )
 
-    # --- tombstones: sorted unique, subset of docs ---------------------------
-    tomb = read_tombstones(spark, index_dir)
-    if len(tomb):
-        import numpy as np
-
-        sorted_unique = bool(np.all(np.diff(tomb) > 0))
-        known = docs.select("doc_id").where(
-            F.col("doc_id").isin([int(t) for t in tomb[:100000]])
-        ).count()
+    # --- tombstones: every RAW on-disk id resolves to a doc ------------------
+    # read the parquet directly: read_tombstones normalizes (unique+sort)
+    # on load, so checking its output would be vacuous — the on-disk state
+    # is what fsck verifies. Duplicates are legal (delete_docs is
+    # append-only; decode dedups), unknown ids are not. The resolve check
+    # is a distributed anti-join, so it covers the FULL set at any size.
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if fs.exists(tomb_path):
+        raw = spark.read.parquet(tomb_path).select("doc_id")
+        n_raw = raw.count()
+        unknown = raw.distinct().join(
+            docs.select("doc_id"), "doc_id", "left_anti"
+        )
+        n_unknown = unknown.count()
         record(
             "tombstones",
-            sorted_unique and known == min(len(tomb), 100000),
-            f"{len(tomb)} tombstones, {known} resolved in docs",
+            n_unknown == 0,
+            f"{n_raw} tombstone rows, {n_unknown} unresolvable in docs",
         )
     else:
         record("tombstones", True, "none")

@@ -41,15 +41,19 @@ def word_frequencies(
         df.select(F.explode(tokens_col(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
+        .persist()  # the guard count and the toPandas share one corpus scan
     )
-    n_words = counts.count()
-    if n_words > MAX_WORD_TABLE:
-        raise ValueError(
-            f"word table has {n_words} entries (> {MAX_WORD_TABLE}); train "
-            "BPE on a sampled corpus — the merge loop needs the compact "
-            "word-frequency statistic, not the corpus"
-        )
-    pdf = counts.toPandas()
+    try:
+        n_words = counts.count()
+        if n_words > MAX_WORD_TABLE:
+            raise ValueError(
+                f"word table has {n_words} entries (> {MAX_WORD_TABLE}); train "
+                "BPE on a sampled corpus — the merge loop needs the compact "
+                "word-frequency statistic, not the corpus"
+            )
+        pdf = counts.toPandas()
+    finally:
+        counts.unpersist()
     return dict(zip(pdf["w"].tolist(), pdf["n"].astype(int).tolist()))
 
 

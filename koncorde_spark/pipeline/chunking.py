@@ -31,9 +31,10 @@ def chunk_documents(
 ) -> DataFrame:
     """Sliding token windows: chunk i covers tokens [i*stride, i*stride +
     chunk_tokens) with stride = chunk_tokens - overlap; the last chunk is
-    partial rather than padded, and every chunk introduces at least
-    ``stride`` new tokens (no chunk is a suffix of its predecessor).
-    Token-free documents produce no chunks. Returns (id, chunk_idx,
+    partial rather than padded and no chunk is a suffix of its
+    predecessor (every chunk introduces >= 1 new token; full chunks
+    introduce exactly ``stride``). Token-free documents produce no
+    chunks. Returns (id, chunk_idx,
     start_tok, n_toks, chunk_text) with chunk_text the space-joined
     token window (canonical tokens, not raw offsets — the form an
     embedding encoder consumes)."""

@@ -615,14 +615,17 @@ def mix_by_token_budget(
     is exactly the declared mixture. Returns (id, source, n_tokens,
     cum_tokens, kept) for auditability; downstream filters on ``kept``.
 
-    The order is md5(seed:id) with id tie-break — the same pure-function
-    rank as cap_per_source, so reruns, repartitions and corpus growth
-    never swap which rows survive (growth only appends to each source's
-    tail). Scale shape: one partitioned window per source (exact global
-    cumsum is order-defined — same trade as the reference form of
-    sequence packing); per-source partitions are the honest cost of an
-    exact budget, and a pathological mega-source serializes only its own
-    partition."""
+    The order is md5(seed:id) with id tie-break — a pure function of the
+    data, so RERUNS and repartitions always keep the same rows. Corpus
+    GROWTH is different from cap_per_source: the kept bit depends on the
+    cumulative tokens of every earlier-ranked row, so a new doc that
+    ranks before the budget cut pushes later boundary docs out — budgets
+    select a token PREFIX, not a stable per-row property (re-derive the
+    mixture per corpus snapshot). Scale shape: one partitioned window
+    per source (exact global cumsum is order-defined — same trade as the
+    reference form of sequence packing); per-source partitions are the
+    honest cost of an exact budget, and a pathological mega-source
+    serializes only its own partition."""
     if not budgets:
         raise ValueError("budgets must be non-empty")
     key = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
@@ -663,10 +666,15 @@ def mix_by_token_budget_sql(
     seed: str = "mix",
 ) -> str:
     """DuckDB twin of :func:`mix_by_token_budget`."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
     vals = ", ".join(
-        f"('{s}', {int(b)})" for s, b in sorted(budgets.items())
+        f"({q(s)}, {int(b)})" for s, b in sorted(budgets.items())
     )
-    srcs = ", ".join(f"'{s}'" for s in sorted(budgets))
+    srcs = ", ".join(q(s) for s in sorted(budgets))
+    seed = seed.replace("'", "''")
     return f"""
     WITH b(src, budget) AS (VALUES {vals}),
     d AS (

@@ -33,7 +33,13 @@ def test_tombstoned_index_passes(spark, bm25_index_dir, tmp_path):
     delete_docs(spark, d, ids)
     report = fsck_index(spark, d)
     assert report["ok"], report
-    assert "7 tombstones" in report["checks"]["tombstones"]["detail"]
+    assert "7 tombstone rows" in report["checks"]["tombstones"]["detail"]
+
+    # an unknown (never-indexed) tombstoned id is corruption
+    delete_docs(spark, d, [999999999999])
+    r2 = fsck_index(spark, d)
+    assert not r2["ok"] and not r2["checks"]["tombstones"]["ok"]
+    assert "1 unresolvable" in r2["checks"]["tombstones"]["detail"]
 
 
 @pytest.mark.spark

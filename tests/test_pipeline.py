@@ -1154,19 +1154,24 @@ class TestMixByTokenBudget:
         b = out[out["source"] == "srcB"]
         assert b["kept"].all()
 
-    def test_deterministic_and_growth_appends(self, spark):
+    def test_deterministic_reruns_and_snapshot_semantics(self, spark):
         df = self._df(spark, 40)
         out1 = sampling.mix_by_token_budget(df, {"srcA": 60}).toPandas()
-        out2 = sampling.mix_by_token_budget(df, {"srcA": 60}).toPandas()
+        out2 = sampling.mix_by_token_budget(
+            df.repartition(7), {"srcA": 60}
+        ).toPandas()
         k1 = set(out1[out1["kept"]]["doc_id"])
-        assert k1 == set(out2[out2["kept"]]["doc_id"])
-        # growing the corpus never evicts an already-kept doc unless the
-        # new doc ranks EARLIER in md5 order — check the kept set of the
-        # smaller corpus restricted to surviving ranks stays consistent
+        assert k1 == set(out2[out2["kept"]]["doc_id"])  # rerun/repartition stable
+        # budgets select a token PREFIX of the md5 order, NOT a stable
+        # per-row property: growing the corpus with earlier-ranked docs
+        # may evict boundary docs (documented). Pin the mechanism: the
+        # small-corpus kept set equals recomputing the prefix rule by hand
+        # over the small corpus's own order.
         small = self._df(spark, 20)
         ks = sampling.mix_by_token_budget(small, {"srcA": 60}).toPandas()
-        ks_ids = set(ks[ks["kept"]]["doc_id"])
-        assert ks_ids  # non-trivial
+        a = ks.sort_values("cum_tokens")
+        manual = a[a["cum_tokens"] <= 60]["doc_id"]
+        assert set(ks[ks["kept"]]["doc_id"]) == set(manual)
 
     def test_undeclared_sources_dropped_and_validation(self, spark):
         df = self._df(spark)
