@@ -278,3 +278,104 @@ def frame_sample_decoded(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.where(F.col("kind") == "video").select("media_id", "bytes").mapInPandas(
         run, schema=FRAME_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hashing (near-duplicate images)
+# ---------------------------------------------------------------------------
+
+# 10 x 6 block grid -> 60-bit average hash: deliberately 60 bits so image
+# hashes slot directly into the text SimHash pairing machinery
+# (dedup.simhash_candidate_pairs bands 60 bits into 4 x 15-bit chunks)
+AHASH_GRID = (10, 6)  # (cols, rows)
+
+
+def _ahash_from_luma(lum: "np.ndarray", grid=AHASH_GRID) -> int:
+    """60-bit average hash of one luma plane: block-mean downsample to
+    cols x rows (integer area averaging via reduceat — deterministic, no
+    resampling kernel), then bit i = block_i > mean(blocks). Bit order is
+    row-major from the top-left, bit 59 first (msb)."""
+    cols, rows = grid
+    h, w = lum.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    # images smaller than the grid: repeat pixels up to grid size so every
+    # block covers >= 1 source pixel (nearest-neighbour upscale — exact,
+    # deterministic, and hash-stable under further exact upscales)
+    if h < rows:
+        lum = np.repeat(lum, -(-rows // h), axis=0)
+        h = lum.shape[0]
+    if w < cols:
+        lum = np.repeat(lum, -(-cols // w), axis=1)
+        w = lum.shape[1]
+    row_idx = (np.arange(rows, dtype=np.int64) * h) // rows
+    col_idx = (np.arange(cols, dtype=np.int64) * w) // cols
+    # area sums per band: reduceat over rows then columns
+    rs = np.add.reduceat(lum.astype(np.float64), row_idx, axis=0)
+    blocks = np.add.reduceat(rs, col_idx, axis=1)
+    # per-block pixel counts (uneven splits at the tail)
+    rh = np.diff(np.append(row_idx, h)).astype(np.float64)
+    cw = np.diff(np.append(col_idx, w)).astype(np.float64)
+    blocks = blocks / (rh[:, None] * cw[None, :])
+    bits = (blocks > blocks.mean()).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-image 60-bit perceptual average-hash over the DECODED luma
+    plane: (id, simhash, width, height). The output column is named
+    ``simhash`` on purpose — downstream near-dup candidate pairing is
+    exactly dedup.simhash_candidate_pairs (60-bit banding + Hamming
+    verify), so images reuse the text near-dup machinery end to end.
+
+    One narrow mapInPandas (decode stays in the worker, Arrow-batched);
+    non-image payloads raise UnsupportedMediaError per the codec matrix —
+    filter ``kind == 'image'`` first."""
+    from . import media_codecs as mc
+
+    schema = T.StructType(
+        [
+            media.schema[id_col],
+            T.StructField("simhash", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf["bytes"]):
+                arr = mc.decode_image(bytes(blob))
+                lum = mc.luma(arr)
+                rows.append(
+                    (
+                        mid,
+                        _ahash_from_luma(lum),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "simhash", "width", "height"]
+            )
+
+    return media.select(id_col, "bytes").mapInPandas(run, schema=schema)
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs: decode → 60-bit ahash → the standard
+    SimHash banding + Hamming verify (bucket-capped, exactly the text
+    path's scale guarantees)."""
+    from .dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(
+        image_ahash(media, id_col), id_col=id_col, max_hamming=max_hamming
+    )

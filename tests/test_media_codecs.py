@@ -177,3 +177,72 @@ class TestY4mColorspaceVariants:
         data = self._y4m_with_colorspace("444alpha", frames, 4.0)
         with pytest.raises(mc.UnsupportedMediaError):
             mc.decode_y4m(data)
+
+
+@pytest.mark.spark
+class TestImageAhash:
+    def _img(self, rng, w=40, h=30):
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_hash_properties(self, spark):
+        from koncorde_spark.pipeline import media_codecs as mc
+        from koncorde_spark.pipeline.multimodal import (
+            _ahash_from_luma,
+            image_ahash,
+            image_near_dup_pairs,
+        )
+        import pandas as pd
+
+        rng = np.random.default_rng(8)
+        base = self._img(rng)
+        noisy = base.copy()
+        noisy[0, 0] = 255 - noisy[0, 0]  # one-pixel change
+        other = self._img(rng)
+        rows = [
+            (0, bytearray(mc.encode_png(base))),
+            (1, bytearray(mc.encode_png(base))),   # exact dup of 0
+            (2, bytearray(mc.encode_png(noisy))),  # near dup of 0
+            (3, bytearray(mc.encode_png(other))),
+        ]
+        import pyspark.sql.types as T
+
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "bytes"]),
+            schema=T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("bytes", T.BinaryType()),
+                ]
+            ),
+        )
+        hashes = {
+            int(r["media_id"]): int(r["simhash"])
+            for r in image_ahash(df).collect()
+        }
+        assert hashes[0] == hashes[1]  # identical pixels, identical hash
+        assert 0 <= hashes[0] < (1 << 60)
+        ham_near = bin(hashes[0] ^ hashes[2]).count("1")
+        ham_far = bin(hashes[0] ^ hashes[3]).count("1")
+        assert ham_near <= 2  # one-pixel change barely moves block means
+        assert ham_far > 10   # unrelated random image is far
+        # spark path equals the direct kernel on the same luma
+        assert hashes[0] == _ahash_from_luma(mc.luma(base))
+
+        pairs = {
+            (int(r["id_a"]), int(r["id_b"]))
+            for r in image_near_dup_pairs(df, max_hamming=3).collect()
+        }
+        assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_uneven_grid_division(self):
+        from koncorde_spark.pipeline.multimodal import _ahash_from_luma
+
+        # 7x13 does not divide 10x6 evenly — block splitting must still
+        # cover every pixel exactly once (area sums / true block sizes)
+        rng = np.random.default_rng(3)
+        lum = rng.uniform(0, 255, (13, 7))
+        h1 = _ahash_from_luma(lum)
+        assert 0 <= h1 < (1 << 60)
+        # deterministic
+        assert h1 == _ahash_from_luma(lum.copy())
