@@ -516,6 +516,36 @@ def _q_bm25_qs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # query-time synonym expansion: 'sort^2' expands to the OR of
 # {sort, merge, shuffle}, every alternate inheriting the ^2 boost
+FILTER_SORT_K = 25
+
+
+def _q_bm25_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-context search with a FIELD sort: all docs containing every
+    query term (no scoring), ordered by a metadata column — the
+    match-then-sort-by-anything shape (ES filter context + sort). The
+    index supplies the matching-id set; one join attaches the sort key."""
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.sources import corpus_from_documents
+
+    idx_dir = _bm25_index_dir(sf_dir)
+    corpus = corpus_from_documents(spark, sf_dir)
+    build_index(spark, corpus, idx_dir, IndexConfig(n_shards=8), resume=True)
+    idx = Bm25Index(spark, idx_dir)
+    ids = idx.matching_ids(" ".join(BM25_QUERY_TERMS), mode="all")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mapped = (
+        ids.join(idx.docs.select("doc_id", "path"), "doc_id")
+        .select(
+            F.regexp_extract("path", r"doc_(\d+)\.txt", 1)
+            .cast("long")
+            .alias("doc_id")
+        )
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    return mapped.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(FILTER_SORT_K)
+
+
 BM25_SYN_QUERY = "spark sort^2"
 BM25_SYNONYMS = {"sort": ["merge", "shuffle"]}
 
@@ -1344,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mlt": _q_bm25_mlt,
         "bm25_qs": _q_bm25_qs,
         "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_filter_sort": _q_bm25_filter_sort,
         "bm25_after": _q_bm25_after,
         "bm25_rescore": _q_bm25_rescore,
         "bm25_federated": _q_bm25_federated,
@@ -1417,6 +1448,16 @@ def oracle_sql() -> dict[str, str]:
         {"sort": 2.0, "merge": 2.0, "shuffle": 2.0}, BM25_K,
         tie_sql=internal_id,
     )
+    _fs_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    bm25_filter_sort = f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE len(list_filter(
+            list_distinct(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')),
+            t -> t IN ({_fs_terms}))) = {len(set(BM25_QUERY_TERMS))}
+    ORDER BY n_chars DESC, doc_id ASC
+    LIMIT {FILTER_SORT_K}
+    """
     # search_after page 2 == ranks k+1..2k of the same total order
     bm25_after = bm25_brute_sql(
         "documents", BM25_QUERY_TERMS, BM25_K, tie_sql=internal_id,
@@ -1545,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boolean": bm25_boolean,
         "bm25_qs": bm25_qs,
         "bm25_synonyms": bm25_synonyms,
+        "bm25_filter_sort": bm25_filter_sort,
         "bm25_after": bm25_after,
         "bm25_rescore": bm25_rescore,
         "bm25_federated": bm25_federated,

@@ -599,6 +599,59 @@ class Bm25Index:
         )
         return int(rows[0]["n"] or 0)
 
+    def matching_ids(self, query: str, mode: str = "any") -> DataFrame:
+        """FILTER-context query: every live doc matching the query, as a
+        DataFrame of internal doc_ids — no scoring, no top-k cut. The
+        building block for field-sorted results (match, then join
+        metadata and ORDER BY any column), boolean filters feeding other
+        jobs, and set arithmetic between queries. Same per-shard
+        vectorized union/intersection as count(), emitting the ids."""
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        out_schema = T.StructType([T.StructField("doc_id", T.LongType())])
+        toks = sorted(set(tokenize_text(query)))
+        dfs = self._df_for(toks)
+        present = [t for t in toks if t in dfs]
+        if not present or (mode == "all" and len(present) < len(toks)):
+            return self.spark.createDataFrame([], out_schema)
+        need, tomb, mode_ = len(present), self.tombstones, mode
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            per_term: dict[str, list[np.ndarray]] = {}
+            for _, row in pdf.iterrows():
+                per_term.setdefault(row["term"], []).append(
+                    delta_decode(bytes(row["doc_ids"]), int(row["df"])).astype(np.int64)
+                )
+            sets = [
+                np.sort(np.concatenate(v)) if len(v) > 1 else v[0]
+                for v in per_term.values()
+            ]
+            if mode_ == "all":
+                if len(per_term) < need:
+                    return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+                sets.sort(key=len)
+                cand = sets[0]
+                for ids in sets[1:]:
+                    if len(cand) == 0:
+                        break
+                    at = np.searchsorted(ids, cand)
+                    cand = cand[ids[np.minimum(at, len(ids) - 1)] == cand]
+            else:
+                cand = np.unique(np.concatenate(sets))
+            if len(tomb) and len(cand):
+                at = np.searchsorted(tomb, cand)
+                cand = cand[tomb[np.minimum(at, len(tomb) - 1)] != cand]
+            return pd.DataFrame({"doc_id": cand})
+
+        relevant = self.postings.where(F.col("term").isin(present)).select(
+            "term", "shard", "df", "doc_ids"
+        )
+        return relevant.groupBy("shard").applyInPandas(
+            lambda _, pdf: per_shard(pdf), schema=out_schema
+        )
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Vocabulary terms starting with ``prefix``, highest-df first
         (ties by ascending term), capped at ``max_expansions``.

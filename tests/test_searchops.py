@@ -300,3 +300,50 @@ def test_rescore_matches_pandas_and_reorders(spark, small_corpus_pdf, bm25_index
 
     with pytest.raises(ValueError, match="window"):
         idx.topk_rescored(Q, boosts, k=10, window=5)
+
+
+@pytest.mark.spark
+def test_matching_ids_filter_context(spark, small_corpus_pdf, bm25_index_dir):
+    """matching_ids == brute token-set filter, both modes; deletes drop
+    out (filter context respects tombstones)."""
+    import shutil
+
+    from koncorde_spark.fulltext.indexer import delete_docs, doc_id_of
+    from koncorde_spark.fulltext.query import Bm25Index
+    from koncorde_spark.fulltext.tokenizer import tokenize_text
+
+    idx = Bm25Index(spark, bm25_index_dir)
+    id_of = {
+        i: doc_id_of(r, p, c)
+        for i, (r, p, c) in enumerate(
+            zip(small_corpus_pdf["repo"], small_corpus_pdf["path"],
+                small_corpus_pdf["commit"])
+        )
+    }
+    toksets = [set(tokenize_text(t)) for t in small_corpus_pdf["content"]]
+    q = {"import", "return"}
+    exp_any = {id_of[i] for i, ts in enumerate(toksets) if ts & q}
+    exp_all = {id_of[i] for i, ts in enumerate(toksets) if q <= ts}
+    got_any = {int(r["doc_id"]) for r in idx.matching_ids("import return").collect()}
+    got_all = {
+        int(r["doc_id"])
+        for r in idx.matching_ids("import return", mode="all").collect()
+    }
+    assert got_any == exp_any and got_all == exp_all
+    assert got_all < got_any  # strictly smaller on this fixture
+    assert idx.matching_ids("zzz_absent", mode="all").count() == 0
+
+    # tombstoned docs leave the matching set
+    d = str(spark._jvm.java.io.File(bm25_index_dir).getPath())
+    import tempfile
+
+    cp = tempfile.mkdtemp() + "/idx"
+    shutil.copytree(d, cp)
+    victims = sorted(exp_all)[:3]
+    delete_docs(spark, cp, victims)
+    idx2 = Bm25Index(spark, cp)
+    got2 = {
+        int(r["doc_id"])
+        for r in idx2.matching_ids("import return", mode="all").collect()
+    }
+    assert got2 == exp_all - set(victims)
