@@ -193,3 +193,65 @@ class TestServingTierExecution:
             must=["def"], should=exp, must_not=["xyzzynotaterm"], k=8
         )
         assert got == want
+
+
+class TestFuzz:
+    """Property fuzz: the parser either parses or raises KoncordeParseError
+    — never any other exception — and every successfully parsed query
+    dispatches through execute_query_string without error."""
+
+    def test_random_strings_never_crash(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        printable = st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=40,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(printable)
+        def run(qs):
+            s = _SpySearcher()
+            try:
+                clauses = parse_query_string(qs)
+            except KoncordeParseError:
+                return
+            assert clauses  # a successful parse yields >= 1 clause
+            for c in clauses:
+                assert c.kind in ("term", "prefix", "fuzzy", "phrase")
+                assert c.terms, c
+            try:
+                execute_query_string(s, qs, k=5)
+            except KoncordeParseError:
+                pass  # semantic rejections (e.g. +prefix*) are legal
+
+        run()
+
+    def test_grammar_generator_round_trips(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        word = st.text(alphabet="abcdefg0_", min_size=1, max_size=8)
+        clause = st.one_of(
+            word,
+            word.map(lambda w: f"+{w}"),
+            word.map(lambda w: f"-{w}"),
+            word.map(lambda w: f"{w}*"),
+            word.map(lambda w: f"{w}~1"),
+            word.map(lambda w: f"{w}^2"),
+            st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+        )
+        query = st.lists(clause, min_size=1, max_size=5).map(" ".join)
+
+        @settings(max_examples=200, deadline=None)
+        @given(query)
+        def run(qs):
+            s = _SpySearcher()
+            try:
+                out = execute_query_string(s, qs, k=3)
+            except KoncordeParseError:
+                return  # only semantic rejections allowed on valid grammar
+            assert out in ("TOPK", "PHRASE", "BOOL")
+
+        run()
