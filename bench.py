@@ -496,7 +496,23 @@ def main():
 
     from koncorde_spark.pipeline.chunking import chunk_documents, doc_keywords
 
+    from koncorde_spark.fulltext.facets import significant_terms
+
     docs_ck = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "search_sigterms",
+        lambda: significant_terms(
+            docs_ck, ["spark", "join", "merge"], 15, 3
+        ).collect(),
+    )
+    timed(
+        "bm25_filter_sort",
+        lambda: idx.matching_ids("import return", mode="all")
+        .join(idx.docs.select("doc_id", "dl"), "doc_id")
+        .orderBy(_F.desc("dl"), _F.asc("doc_id"))
+        .limit(25)
+        .collect(),
+    )
     timed(
         "doc_chunks",
         lambda: chunk_documents(docs_ck, 64, 8)

@@ -8,7 +8,9 @@ rewriting a live directory under open handles, flip a pointer and let
 each query tier re-resolve at open time.
 
 Layout: ``<root>/aliases.json`` maps alias name → {"target": <dir>,
-"updated": <monotonic generation>}. The flip is write-staged-then-rename
+"updated": <monotonic generation>}, plus a reserved ``__gen__`` entry
+persisting the counter so generations stay strictly monotonic across
+drops. The flip is write-staged-then-rename
 — the same primitive the index swaps use — so a reader never observes a
 torn file; generations make stale-write detection possible for external
 tooling. All I/O goes through fulltext.fs (Hadoop FS for scheme-carrying
@@ -26,12 +28,20 @@ def _aliases_path(root: str) -> str:
     return root.rstrip("/") + "/" + ALIASES_FILE
 
 
+# reserved top-level key carrying the monotonic generation counter —
+# kept in the same JSON so a drop cannot regress generations (max over
+# surviving entries would)
+_GEN_KEY = "__gen__"
+
+
+def _read_raw(root: str) -> dict:
+    p = _aliases_path(root)
+    return fs.read_json(p) if fs.exists(p) else {}
+
+
 def read_aliases(root: str) -> dict:
     """{alias: {"target": dir, "updated": gen}} — empty if none set."""
-    p = _aliases_path(root)
-    if not fs.exists(p):
-        return {}
-    return fs.read_json(p)
+    return {k: v for k, v in _read_raw(root).items() if k != _GEN_KEY}
 
 
 def set_alias(root: str, name: str, target_dir: str) -> dict:
@@ -45,21 +55,32 @@ def set_alias(root: str, name: str, target_dir: str) -> dict:
     routes alias updates through one master for the same reason). Names
     may not contain '/', '#' or ',' (reserved by the alias:<root>#<name>
     CLI spec and the comma-separated --index list)."""
-    if not name or any(c in name for c in "/#,"):
+    if not name or any(c in name for c in "/#,") or name == _GEN_KEY:
         raise ValueError(f"invalid alias name: {name!r}")
-    aliases = read_aliases(root)
-    gen = max((int(a.get("updated", 0)) for a in aliases.values()), default=0) + 1
-    aliases[name] = {"target": target_dir, "updated": gen}
-    _write_staged(root, aliases)
-    return aliases[name]
+    raw = _read_raw(root)
+    # the persisted counter survives drops, so generations are strictly
+    # monotonic across the store's whole history (a flip after a drop can
+    # never carry a lower generation than one an observer already saw)
+    gen = (
+        max(
+            int(raw.get(_GEN_KEY, 0)),
+            *(int(a.get("updated", 0)) for k, a in raw.items() if k != _GEN_KEY),
+            0,
+        )
+        + 1
+    )
+    raw[name] = {"target": target_dir, "updated": gen}
+    raw[_GEN_KEY] = gen
+    _write_staged(root, raw)
+    return raw[name]
 
 
 def drop_alias(root: str, name: str) -> None:
-    aliases = read_aliases(root)
-    if name not in aliases:
+    raw = _read_raw(root)
+    if name not in raw or name == _GEN_KEY:
         raise KeyError(f"alias not found: {name!r}")
-    del aliases[name]
-    _write_staged(root, aliases)
+    del raw[name]
+    _write_staged(root, raw)
 
 
 def resolve_alias(root: str, name: str) -> str:

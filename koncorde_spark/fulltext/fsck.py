@@ -107,10 +107,19 @@ def fsck_index(
             int(r["shard"]): int(r["n"])
             for r in docs.groupBy("shard").agg(F.count("*").alias("n")).collect()
         }
-        pack_n = {
-            int(r["shard"]): int(r["n"])
+        pack_rows = [
+            (int(r["shard"]), int(r["n"]))
             for r in dlpack.select("shard", "n").collect()
-        }
+        ]
+        # a shard owning MORE than one dlpack row is the classic crashed
+        # swap (queries on it raise at decode) — a dict keyed by shard
+        # would silently keep one row and mask it, so count first
+        from collections import Counter
+
+        dup_shards = sorted(
+            s for s, c in Counter(s for s, _ in pack_rows).items() if c > 1
+        )
+        pack_n = dict(pack_rows)
         # every shard with docs needs exactly its doc count packed
         bad = {
             s: (nd, pack_n.get(s))
@@ -119,8 +128,13 @@ def fsck_index(
         }
         record(
             "manifest_dlpack",
-            not bad,
-            f"pack/doc count mismatches {bad}" if bad else f"{n_shards} shards",
+            not bad and not dup_shards,
+            (
+                f"duplicate pack rows for shards {dup_shards}; "
+                if dup_shards
+                else ""
+            )
+            + (f"pack/doc count mismatches {bad}" if bad else f"{n_shards} shards"),
         )
 
     # --- corpus statistics agree with meta ---------------------------------

@@ -25,8 +25,10 @@ without the needed data):
 
 * a phrase combined with other clauses — or with a modifier — degrades
   to a conjunctive MUST of its terms (Lucene's behaviour when positions
-  are unavailable); a lone unmodified phrase stays an exact
-  positional phrase when the index stores positions.
+  are unavailable); a lone unmodified phrase stays an exact positional
+  phrase when the index stores positions (``meta['positions']``) and
+  degrades the same way when it does not; a boost on a lone positional
+  phrase scales its scores (rank-preserving).
 * ``+prefix*`` / ``+fuzzy~`` (a must-quantified expansion is an
   OR-group inside a conjunction, which the boolean engine does not
   express) raises ``KoncordeParseError`` — ``-prefix*`` is fine
@@ -185,11 +187,30 @@ def execute_query_string(
                     seen.add(a)
                     c.terms.append(a)
 
-    # fast path 1: lone unmodified phrase → exact positional phrase
-    if len(clauses) == 1 and clauses[0].kind == "phrase" and not clauses[0].modifier:
+    # fast path 1: lone unmodified phrase → exact positional phrase —
+    # but only when the index actually stores positions; otherwise fall
+    # through to the documented conjunctive degradation (what Lucene does
+    # on a field without the needed data) instead of raising mid-query
+    positional = bool(getattr(searcher, "meta", {"positions": True}).get("positions"))
+    if (
+        len(clauses) == 1
+        and clauses[0].kind == "phrase"
+        and not clauses[0].modifier
+        and positional
+    ):
         c = clauses[0]
         run = getattr(searcher, "topk_phrase", None) or searcher.phrase
-        return run(c.text, k, slop=c.slop)
+        hits = run(c.text, k, slop=c.slop)
+        if c.boost == 1.0:
+            return hits
+        # a boosted lone phrase keeps its positional exactness; the boost
+        # scales the scores (rank-preserving), matching the boost every
+        # other clause shape carries into the engine
+        if isinstance(hits, list):
+            return [(d, s * c.boost) for d, s in hits]
+        from pyspark.sql import functions as F
+
+        return hits.withColumn("score", F.col("score") * F.lit(c.boost))
 
     must: list[str] = []
     should: list[str] = []

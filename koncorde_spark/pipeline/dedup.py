@@ -815,6 +815,10 @@ def cross_doc_dup_stats(
                 F.array_distinct(_shingles_from_hashes("__th", shingle_k))
             ).alias("s"),
         )
+        # both the df agg and the join consume this projection — without
+        # a barrier Catalyst re-runs the tokenize+md5+shingle pipeline for
+        # each branch, doubling the dominant corpus-scan cost
+        .localCheckpoint()
     )
     # per-doc shingles are already distinct → count(*) == distinct-doc df
     dfs = (

@@ -22,6 +22,21 @@ class TestAliasStore:
         with pytest.raises(KeyError):
             aliases.drop_alias(root, "staging")
 
+    def test_generations_monotonic_across_drop(self, tmp_path):
+        """A flip after a drop must never carry a lower generation than
+        one an observer already saw (the stale-write-detection story)."""
+        root = str(tmp_path / "genroot")
+        for _ in range(5):
+            last = aliases.set_alias(root, "a", "/v")
+        aliases.set_alias(root, "b", "/w")
+        seen = last["updated"]
+        aliases.drop_alias(root, "a")
+        again = aliases.set_alias(root, "a", "/v2")
+        assert again["updated"] > seen
+        assert "__gen__" not in aliases.read_aliases(root)
+        with pytest.raises(ValueError):
+            aliases.set_alias(root, "__gen__", "/x")
+
     def test_unknown_alias_is_loud(self, tmp_path):
         with pytest.raises(KeyError):
             aliases.resolve_alias(str(tmp_path), "nope")

@@ -90,3 +90,17 @@ def test_detects_corruptions(spark, bm25_index_dir, tmp_path):
     r3 = fsck_index(spark, d3)
     assert not r3["ok"] and not r3["checks"]["df_consistency"]["ok"]
     assert pdf.loc[0, "term"] in r3["checks"]["df_consistency"]["detail"]
+
+
+@pytest.mark.spark
+def test_detects_duplicate_dlpack_rows(spark, bm25_index_dir, tmp_path):
+    """A crashed swap leaving two dlpack rows for one shard must fail
+    fsck (queries on that shard raise at decode)."""
+    d = str(tmp_path / "dupdl")
+    shutil.copytree(bm25_index_dir, d)
+    dl = os.path.join(d, "dlpack")
+    one_row = spark.read.parquet(dl).limit(1)
+    one_row.write.mode("append").parquet(dl)
+    r = fsck_index(spark, d)
+    assert not r["ok"] and not r["checks"]["manifest_dlpack"]["ok"]
+    assert "duplicate pack rows" in r["checks"]["manifest_dlpack"]["detail"]

@@ -255,3 +255,27 @@ class TestFuzz:
             assert out in ("TOPK", "PHRASE", "BOOL")
 
         run()
+
+
+class TestNonPositionalPhrase:
+    def test_lone_phrase_degrades_without_positions(self, bm25_index_dir):
+        """The default (positions=False) index must not crash on a lone
+        phrase: it degrades to the conjunctive MUST of the phrase terms,
+        exactly like a combined phrase."""
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        ls = LocalSearcher(bm25_index_dir)
+        assert not ls.meta.get("positions")
+        got = execute_query_string(ls, '"import ident_00001"', k=6)
+        want = ls.topk_boolean(must=["import", "ident_00001"], k=6)
+        assert got == want
+
+    def test_lone_phrase_positional_with_boost_scales(self, bm25_pos_index_dir):
+        from koncorde_spark.fulltext.serve import LocalSearcher
+
+        ls = LocalSearcher(bm25_pos_index_dir)
+        plain = execute_query_string(ls, '"def function"', k=5)
+        boosted = execute_query_string(ls, '"def function"^2', k=5)
+        assert [d for d, _ in boosted] == [d for d, _ in plain]
+        for (d1, s1), (d2, s2) in zip(plain, boosted):
+            assert abs(s2 - 2.0 * s1) < 1e-12
