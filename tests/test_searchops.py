@@ -347,3 +347,52 @@ def test_matching_ids_filter_context(spark, small_corpus_pdf, bm25_index_dir):
         for r in idx2.matching_ids("import return", mode="all").collect()
     }
     assert got2 == exp_all - set(victims)
+
+
+@pytest.mark.spark
+def test_search_after_fuzz_duplicate_heavy(spark, tmp_path):
+    """Property fuzz over one duplicate-heavy index: for random (query,
+    k), walking pages via cursors always tiles the oracle ranking with no
+    dropped or repeated docs — ties everywhere, so the cursor's exact
+    equality rule is exercised constantly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+
+    vocab = ["red", "blue", "green", "tok"]
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(90):
+        # heavy duplication: only 12 distinct texts across 90 docs
+        tpl = rng.integers(0, 12)
+        words = [vocab[(tpl + j) % len(vocab)] for j in range(3 + tpl % 4)]
+        rows.append(
+            {"repo": "r", "path": f"p{i:03d}", "commit": f"c{i:03d}",
+             "lang": "py", "content": " ".join(words)}
+        )
+    pdf = pd.DataFrame(rows)
+    out = str(tmp_path / "fuzzidx")
+    build_index(spark, spark.createDataFrame(pdf).repartition(4), out,
+                IndexConfig(n_shards=4), resume=False)
+    s = LocalSearcher(out)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=9),
+    )
+    def run(qterms, k):
+        q = " ".join(qterms)
+        full = bm25_oracle_topk(pdf, q, 90)
+        flat, after = [], None
+        for _ in range(90 // k + 2):  # enough pages to exhaust all matches
+            page = s.topk(q, k, after=after)
+            if not page:
+                break
+            flat.extend(page)
+            after = (page[-1][1], page[-1][0])
+        assert [d for d, _ in flat] == list(full["doc_id"])
+        assert np.allclose([x for _, x in flat], full["score"], atol=0)
+
+    run()
