@@ -120,12 +120,28 @@ class LocalSearcher:
             return []
         return self._topk_with_idf(idf, k, mode, after)
 
+    def profile_topk(
+        self, query: str, k: int = 10
+    ) -> tuple[list[tuple[int, float]], dict]:
+        """topk plus the kernel's measured pruning counters (see
+        wand.topk_block_max_wand ``stats``) — WAND-skip evidence for a
+        query, per process rather than per claim."""
+        q_terms = sorted(set(tokenize_text(query)))
+        idf = {t: float(bm25_idf(self.meta["n_docs"], self._df[t]))
+               for t in q_terms if t in self._df}
+        if not idf:
+            return [], {}
+        stats: dict = {}
+        hits = self._topk_with_idf(idf, k, stats=stats)
+        return hits, stats
+
     def _topk_with_idf(
         self,
         idf: dict[str, float],
         k: int,
         mode: str = "any",
         after: tuple[float, int] | None = None,
+        stats: dict | None = None,
     ) -> list[tuple[int, float]]:
         """topk with an INJECTED idf map (federation passes combined-corpus
         idf; this member's own avgdl normalizes length — same contract as
@@ -201,7 +217,9 @@ class LocalSearcher:
                 )
             else:
                 tps = [tp for segs in by_term.values() for tp in segs]
-                ids, scores = topk_block_max_wand(tps, k, after=after_)
+                ids, scores = topk_block_max_wand(
+                    tps, k, after=after_, stats=stats
+                )
             cand_ids.append(ids)
             cand_scores.append(scores)
         if not cand_ids:

@@ -76,6 +76,7 @@ def _after_mask(
 def topk_block_max_wand(
     terms: list[TermPostings], k: int,
     after: tuple[float, int] | None = None,
+    stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) over the given term postings.
 
@@ -86,13 +87,25 @@ def topk_block_max_wand(
     cursor filter runs before heap insertion, so the block-max skip
     threshold is the kth best ACCEPTED score — still a valid lower bound
     for pruning, since rejected (before-cursor) docs can never enter the
-    result."""
+    result.
+
+    ``stats``: optional dict the kernel increments in place —
+    ``entries_total`` (postings entries in play), ``entries_scored``
+    (actually decoded into the accumulator), ``segments_scored`` and
+    ``segments_skipped`` (block-max prune hits), ``exhaustive`` (1 when
+    the small-union fallback ran). The WAND-pruning evidence a plan
+    audit wants, measured rather than claimed."""
     terms = [t for t in terms if len(t.doc_ids)]
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
     total = sum(len(t.doc_ids) for t in terms)
+    if stats is not None:
+        stats["entries_total"] = stats.get("entries_total", 0) + total
     if total <= 1 << 17:
+        if stats is not None:
+            stats["exhaustive"] = stats.get("exhaustive", 0) + 1
+            stats["entries_scored"] = stats.get("entries_scored", 0) + total
         return _score_all(terms, k, after=after)
 
     best_ids = np.empty(0, dtype=np.int64)
@@ -130,6 +143,8 @@ def topk_block_max_wand(
                 ptr[i] += int(
                     np.searchsorted(t.doc_ids[ptr[i] :], boundary, side="right")
                 )
+            if stats is not None:
+                stats["segments_skipped"] = stats.get("segments_skipped", 0) + 1
             continue
 
         # score the segment [seg_start, boundary] vectorized
@@ -144,6 +159,9 @@ def topk_block_max_wand(
             ptr[i] = hi
         ids = np.concatenate(seg_ids)
         scores = np.concatenate(seg_scores)
+        if stats is not None:
+            stats["segments_scored"] = stats.get("segments_scored", 0) + 1
+            stats["entries_scored"] = stats.get("entries_scored", 0) + len(ids)
         uniq, inv = np.unique(ids, return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inv, scores)

@@ -396,3 +396,43 @@ def test_search_after_fuzz_duplicate_heavy(spark, tmp_path):
         assert np.allclose([x for _, x in flat], full["score"], atol=0)
 
     run()
+
+
+def test_wand_stats_skipping_fires_and_results_exact():
+    """On a large skewed union the block-max path must SKIP segments
+    (measured, not claimed) while returning exactly the brute ranking;
+    stats add up (scored + skipped segments, entries partitioned)."""
+    rng = np.random.default_rng(23)
+    n_docs = 400_000
+    # one dominant common term + two rare high-idf terms: the classic
+    # shape where WAND skips most of the common term's blocks
+    common = _mk_postings(rng, n_docs, 180_000, block_size=64)
+    common.scores *= 0.05  # low per-entry score
+    common.block_ub = np.maximum.reduceat(
+        common.scores, np.arange(0, len(common.scores), 64)
+    )
+    rare1 = _mk_postings(rng, n_docs, 3_000, block_size=64)
+    rare2 = _mk_postings(rng, n_docs, 2_000, block_size=64)
+    terms = [common, rare1, rare2]
+
+    stats = {}
+    ids, scores = topk_block_max_wand(terms, 10, stats=stats)
+    bids, bacc = score_union(terms)
+    order = np.lexsort((bids, -bacc))[:10]
+    assert ids.tolist() == bids[order].tolist()
+    assert np.allclose(scores, bacc[order], atol=0)
+
+    assert stats.get("exhaustive", 0) == 0  # streaming path ran
+    assert stats["segments_skipped"] > 0    # pruning actually fired
+    assert stats["entries_scored"] < stats["entries_total"]
+    assert stats["segments_scored"] > 0
+
+
+@pytest.mark.spark
+def test_profile_topk_counters(bm25_index_dir):
+    s = LocalSearcher(bm25_index_dir)
+    hits, stats = s.profile_topk(Q, 5)
+    assert hits == s.topk(Q, 5)
+    # small fixture: the exhaustive fallback path is the expected shape
+    assert stats.get("entries_total", 0) > 0
+    assert stats.get("entries_scored", 0) <= stats["entries_total"]
