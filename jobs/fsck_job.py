@@ -24,11 +24,12 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    from koncorde_spark.fulltext.aliases import resolve_spec
     from koncorde_spark.fulltext.fsck import fsck_index
 
     spark = SparkSession.builder.appName("koncorde-fsck").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    report = fsck_index(spark, args.index, raise_on_error=args.strict)
+    report = fsck_index(spark, resolve_spec(args.index), raise_on_error=args.strict)
     print(json.dumps(report))
     sys.exit(0 if report["ok"] else 1)
 

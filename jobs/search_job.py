@@ -16,7 +16,7 @@ for index dirs that fit one machine's file system view.
 
 ``--index`` accepts a comma-separated list of index dirs: the query then
 runs FEDERATED (combined global idf, per-member avgdl) on either tier;
-federation currently serves ``--mode topk`` only.
+federation serves ``--mode topk`` and ``--mode count``.
 
 Each index entry may be an ``alias:<root>#<name>`` pointer (resolved
 through <root>/aliases.json at open time — the zero-downtime reindex
@@ -33,16 +33,12 @@ import json
 
 
 def _resolve(entry: str) -> str:
-    """alias:<root>#<name> -> the aliased dir; anything else verbatim."""
-    if not entry.startswith("alias:"):
-        return entry
-    from koncorde_spark.fulltext.aliases import resolve_alias
+    from koncorde_spark.fulltext.aliases import resolve_spec
 
-    spec = entry[len("alias:"):]
-    root, sep, name = spec.rpartition("#")
-    if not sep or not root or not name:
-        raise SystemExit(f"bad alias spec {entry!r}: want alias:<root>#<name>")
-    return resolve_alias(root, name)
+    try:
+        return resolve_spec(entry)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _run_local(args) -> dict:
@@ -53,9 +49,14 @@ def _run_local(args) -> dict:
     if len(dirs) > 1:
         from koncorde_spark.fulltext.federate import LocalFederatedSearcher
 
+        lf = LocalFederatedSearcher(dirs)
+        if args.mode == "count":
+            return {"query": args.query, "count": lf.count(args.query)}
         if args.mode != "topk":
-            raise SystemExit("federated search (multiple --index) supports --mode topk")
-        hits = LocalFederatedSearcher(dirs).topk(args.query, args.k)
+            raise SystemExit(
+                "federated search (multiple --index) supports --mode topk/count"
+            )
+        hits = lf.topk(args.query, args.k)
         return {
             "query": args.query, "mode": "topk", "k": args.k,
             "hits": [{"doc_id": int(d), "score": float(s)} for d, s in hits],
@@ -89,11 +90,16 @@ def _run_spark(args) -> dict:
     spark.sparkContext.setLogLevel("WARN")
     dirs = [_resolve(d) for d in args.index.split(",")]
     if len(dirs) > 1:
-        from koncorde_spark.fulltext.federate import federated_topk
+        from koncorde_spark.fulltext.federate import federated_count, federated_topk
 
+        members = [Bm25Index(spark, d) for d in dirs]
+        if args.mode == "count":
+            return {"query": args.query, "count": federated_count(members, args.query)}
         if args.mode != "topk":
-            raise SystemExit("federated search (multiple --index) supports --mode topk")
-        top = federated_topk([Bm25Index(spark, d) for d in dirs], args.query, args.k)
+            raise SystemExit(
+                "federated search (multiple --index) supports --mode topk/count"
+            )
+        top = federated_topk(members, args.query, args.k)
         return {
             "query": args.query, "mode": "topk", "k": args.k,
             "hits": [

@@ -116,6 +116,18 @@ def _write_staged(root: str, aliases: dict) -> None:
     fs.rename(staged, live)
 
 
+def resolve_spec(entry: str) -> str:
+    """``alias:<root>#<name>`` → the aliased dir; anything else verbatim.
+    The one spec parser every CLI shares."""
+    if not entry.startswith("alias:"):
+        return entry
+    spec = entry[len("alias:"):]
+    root, sep, name = spec.rpartition("#")
+    if not sep or not root or not name:
+        raise ValueError(f"bad alias spec {entry!r}: want alias:<root>#<name>")
+    return resolve_alias(root, name)
+
+
 def open_index(spark, root: str, name: str):
     """Resolve and open the job-tier handle the alias points at."""
     from .query import Bm25Index

@@ -81,6 +81,14 @@ def federated_topk(
     return union.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def federated_count(indexes: list, query: str, mode: str = "any") -> int:
+    """totalHits across member indexes: members hold disjoint docs, so
+    counts add — one count job per member, no data movement."""
+    if not indexes:
+        raise ValueError("federated_count needs at least one index")
+    return sum(int(ix.count(query, mode=mode)) for ix in indexes)
+
+
 class LocalFederatedSearcher:
     """Spark-free serving-tier federation: the same combined-statistics
     rule over LocalSearcher members, rank-identical to federated_topk
@@ -122,6 +130,10 @@ class LocalFederatedSearcher:
             rows.extend(m._topk_with_idf(idf_map, k, mode, after))
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
+
+    def count(self, query: str, mode: str = "any") -> int:
+        """totalHits across members (disjoint doc sets — counts add)."""
+        return sum(int(m.count(query, mode=mode)) for m in self.members)
 
 
 def bm25_federated_sql(

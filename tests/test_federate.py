@@ -184,3 +184,21 @@ def test_federated_rejects_mixed_constants(spark, small_corpus_pdf, tmp_path):
     b = Bm25Index(spark, out2)
     with pytest.raises(ValueError, match="constants"):
         federated_topk([a, b], Q, 5)
+
+
+@pytest.mark.spark
+def test_federated_count_adds_members(fed_members, small_corpus_pdf):
+    from koncorde_spark.fulltext.federate import (
+        LocalFederatedSearcher,
+        federated_count,
+    )
+
+    halves, members = fed_members
+    toks = [set(tokenize_text(t)) for t in small_corpus_pdf["content"]]
+    exp_any = sum(1 for t in toks if t & {"import", "return"})
+    exp_all = sum(1 for t in toks if {"import", "return"} <= t)
+    assert federated_count(members, "import return") == exp_any
+    assert federated_count(members, "import return", mode="all") == exp_all
+    lf = LocalFederatedSearcher([m.index_dir for m in members])
+    assert lf.count("import return") == exp_any
+    assert lf.count("import return", mode="all") == exp_all
