@@ -379,3 +379,121 @@ def image_near_dup_pairs(
     return simhash_candidate_pairs(
         image_ahash(media, id_col), id_col=id_col, max_hamming=max_hamming
     )
+
+
+def _audio_fingerprint(rate: int, samples: "np.ndarray") -> int:
+    """60-bit audio fingerprint: mix to mono, split into 60 equal time
+    windows, bit i = window RMS energy > mean energy (a coarse
+    Haitsma-Kalker-style energy envelope — robust to resampling and
+    gain, cheap and deterministic). Shorter-than-60-sample clips repeat
+    samples up to length (same rule as tiny images)."""
+    mono = samples.mean(axis=1).astype(np.float64)
+    n = mono.shape[0]
+    if n < 1:
+        raise ValueError("empty audio")
+    if n < 60:
+        mono = np.tile(mono, -(-60 // n))
+        n = mono.shape[0]
+    idx = (np.arange(60, dtype=np.int64) * n) // 60
+    sq = np.add.reduceat(mono * mono, idx)
+    cnt = np.diff(np.append(idx, n)).astype(np.float64)
+    energy = sq / cnt
+    bits = energy > energy.mean()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def audio_fingerprint(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-clip 60-bit energy-envelope fingerprint over DECODED samples:
+    (id, simhash, sample_rate, n_samples). Same pairing contract as
+    image_ahash — the column is named ``simhash`` so near-dup candidate
+    generation is dedup.simhash_candidate_pairs unchanged."""
+    from . import media_codecs as mc
+
+    schema = T.StructType(
+        [
+            media.schema[id_col],
+            T.StructField("simhash", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf["bytes"]):
+                rate, samples = mc.decode_wav(bytes(blob))
+                rows.append(
+                    (mid, _audio_fingerprint(rate, samples),
+                     int(rate), int(samples.shape[0]))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "simhash", "sample_rate", "n_samples"]
+            )
+
+    return media.select(id_col, "bytes").mapInPandas(run, schema=schema)
+
+
+def video_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-video 60-bit perceptual hash: decode, average the luma planes
+    over time, spatial 10x6 block-mean ahash of the mean frame (the same
+    kernel as image_ahash) — robust to frame-rate changes and small
+    temporal edits, cheap at any length. (id, simhash, width, height,
+    n_frames)."""
+    from . import media_codecs as mc
+
+    schema = T.StructType(
+        [
+            media.schema[id_col],
+            T.StructField("simhash", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf["bytes"]):
+                w, h, frames = mc.decode_y4m(bytes(blob))
+                mean_luma = np.mean(
+                    np.stack([f.astype(np.float64) for f in frames]), axis=0
+                )
+                rows.append(
+                    (mid, _ahash_from_luma(mean_luma), int(w), int(h),
+                     int(len(frames)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "simhash", "width", "height", "n_frames"],
+            )
+
+    return media.select(id_col, "bytes").mapInPandas(run, schema=schema)
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    kind: str,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate pairs WITHIN one modality ('image' / 'audio' /
+    'video'): decode → 60-bit perceptual hash → the shared SimHash
+    banding + Hamming verify. Cross-modality hashes are not comparable
+    by construction, so the caller filters its media table to one kind."""
+    from .dedup import simhash_candidate_pairs
+
+    hasher = {
+        "image": image_ahash,
+        "audio": audio_fingerprint,
+        "video": video_phash,
+    }.get(kind)
+    if hasher is None:
+        raise ValueError(f"kind must be image|audio|video, got {kind!r}")
+    return simhash_candidate_pairs(
+        hasher(media, id_col), id_col=id_col, max_hamming=max_hamming
+    )

@@ -246,3 +246,87 @@ class TestImageAhash:
         assert 0 <= h1 < (1 << 60)
         # deterministic
         assert h1 == _ahash_from_luma(lum.copy())
+
+
+@pytest.mark.spark
+class TestAudioVideoPhash:
+    def test_audio_fingerprint_properties(self, spark):
+        from koncorde_spark.pipeline import media_codecs as mc
+        from koncorde_spark.pipeline.multimodal import (
+            audio_fingerprint,
+            media_near_dup_pairs,
+        )
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        rng = np.random.default_rng(4)
+        base = rng.uniform(-0.8, 0.8, 4000)
+        noisy = base + rng.normal(0, 0.01, 4000)  # tiny noise
+        other = rng.uniform(-0.8, 0.8, 4000)
+        rows = [
+            (0, bytearray(mc.encode_wav(base, 16000))),
+            (1, bytearray(mc.encode_wav(base, 16000))),
+            (2, bytearray(mc.encode_wav(noisy, 16000))),
+            (3, bytearray(mc.encode_wav(other, 16000))),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "bytes"]),
+            schema=T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("bytes", T.BinaryType()),
+                ]
+            ),
+        )
+        h = {
+            int(r["media_id"]): int(r["simhash"])
+            for r in audio_fingerprint(df).collect()
+        }
+        assert h[0] == h[1]
+        assert bin(h[0] ^ h[2]).count("1") <= 3   # envelope barely moves
+        assert bin(h[0] ^ h[3]).count("1") > 8    # unrelated is far
+        pairs = {
+            (int(r["id_a"]), int(r["id_b"]))
+            for r in media_near_dup_pairs(df, "audio", max_hamming=3).collect()
+        }
+        assert (0, 1) in pairs and (0, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_video_phash_properties(self, spark):
+        from koncorde_spark.pipeline import media_codecs as mc
+        from koncorde_spark.pipeline.multimodal import video_phash
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(6)]
+        # doubled frame rate: every frame repeated -> same time-mean luma
+        doubled = [f for f in frames for _ in (0, 1)]
+        other = [rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(6)]
+        rows = [
+            (0, bytearray(mc.encode_y4m(frames))),
+            (1, bytearray(mc.encode_y4m(doubled))),
+            (2, bytearray(mc.encode_y4m(other))),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "bytes"]),
+            schema=T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("bytes", T.BinaryType()),
+                ]
+            ),
+        )
+        h = {
+            int(r["media_id"]): (int(r["simhash"]), int(r["n_frames"]))
+            for r in video_phash(df).collect()
+        }
+        assert h[0][0] == h[1][0]      # frame-rate invariance
+        assert h[0][1] == 6 and h[1][1] == 12
+        assert bin(h[0][0] ^ h[2][0]).count("1") > 8
+
+    def test_media_near_dup_rejects_unknown_kind(self, spark):
+        from koncorde_spark.pipeline.multimodal import media_near_dup_pairs
+
+        with pytest.raises(ValueError):
+            media_near_dup_pairs(None, "text")
