@@ -29,7 +29,11 @@ def main():
 
     spark = SparkSession.builder.appName("koncorde-fsck").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    report = fsck_index(spark, resolve_spec(args.index), raise_on_error=args.strict)
+    try:
+        target = resolve_spec(args.index)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    report = fsck_index(spark, target, raise_on_error=args.strict)
     print(json.dumps(report))
     sys.exit(0 if report["ok"] else 1)
 

@@ -47,15 +47,15 @@ def _run_local(args) -> dict:
 
     dirs = [_resolve(d) for d in args.index.split(",")]
     if len(dirs) > 1:
+        if args.mode not in ("topk", "count"):
+            raise SystemExit(
+                "federated search (multiple --index) supports --mode topk/count"
+            )
         from koncorde_spark.fulltext.federate import LocalFederatedSearcher
 
         lf = LocalFederatedSearcher(dirs)
         if args.mode == "count":
             return {"query": args.query, "count": lf.count(args.query)}
-        if args.mode != "topk":
-            raise SystemExit(
-                "federated search (multiple --index) supports --mode topk/count"
-            )
         hits = lf.topk(args.query, args.k)
         return {
             "query": args.query, "mode": "topk", "k": args.k,
@@ -90,15 +90,15 @@ def _run_spark(args) -> dict:
     spark.sparkContext.setLogLevel("WARN")
     dirs = [_resolve(d) for d in args.index.split(",")]
     if len(dirs) > 1:
+        if args.mode not in ("topk", "count"):
+            raise SystemExit(
+                "federated search (multiple --index) supports --mode topk/count"
+            )
         from koncorde_spark.fulltext.federate import federated_count, federated_topk
 
         members = [Bm25Index(spark, d) for d in dirs]
         if args.mode == "count":
             return {"query": args.query, "count": federated_count(members, args.query)}
-        if args.mode != "topk":
-            raise SystemExit(
-                "federated search (multiple --index) supports --mode topk/count"
-            )
         top = federated_topk(members, args.query, args.k)
         return {
             "query": args.query, "mode": "topk", "k": args.k,

@@ -101,6 +101,11 @@ class LocalFederatedSearcher:
         if not index_dirs:
             raise ValueError("LocalFederatedSearcher needs at least one index")
         self.members = [LocalSearcher(d) for d in index_dirs]
+
+    def _check_constants(self) -> None:
+        # deferred to scoring calls: count() is scoring-free and must be
+        # reachable on mixed-constant members, matching the Spark tier
+        # (federated_count does no constants check either)
         k1b = {
             (float(m.meta["k1"]), float(m.meta["b"])) for m in self.members
         }
@@ -118,6 +123,7 @@ class LocalFederatedSearcher:
     ) -> list[tuple[int, float]]:
         if mode not in ("any", "all"):
             raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        self._check_constants()
         q_terms = sorted(set(tokenize_text(query)))
         if not q_terms:
             return []

@@ -317,11 +317,7 @@ def _ahash_from_luma(lum: "np.ndarray", grid=AHASH_GRID) -> int:
     rh = np.diff(np.append(row_idx, h)).astype(np.float64)
     cw = np.diff(np.append(col_idx, w)).astype(np.float64)
     blocks = blocks / (rh[:, None] * cw[None, :])
-    bits = (blocks > blocks.mean()).ravel()
-    out = 0
-    for b in bits:
-        out = (out << 1) | int(b)
-    return out
+    return _bits_to_int((blocks > blocks.mean()).ravel())
 
 
 def image_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -371,38 +367,37 @@ def image_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Near-duplicate image pairs: decode → 60-bit ahash → the standard
-    SimHash banding + Hamming verify (bucket-capped, exactly the text
-    path's scale guarantees)."""
-    from .dedup import simhash_candidate_pairs
-
-    return simhash_candidate_pairs(
-        image_ahash(media, id_col), id_col=id_col, max_hamming=max_hamming
-    )
+    """Near-duplicate image pairs — media_near_dup_pairs(kind='image')."""
+    return media_near_dup_pairs(media, "image", max_hamming, id_col)
 
 
-def _audio_fingerprint(rate: int, samples: "np.ndarray") -> int:
+def _bits_to_int(bits: "np.ndarray") -> int:
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def _audio_fingerprint(samples: "np.ndarray") -> int:
     """60-bit audio fingerprint: mix to mono, split into 60 equal time
     windows, bit i = window RMS energy > mean energy (a coarse
     Haitsma-Kalker-style energy envelope — robust to resampling and
     gain, cheap and deterministic). Shorter-than-60-sample clips repeat
-    samples up to length (same rule as tiny images)."""
+    each sample in place (np.repeat — the same nearest-neighbour rule as
+    tiny images, so a clip and its exact k× upsample fingerprint
+    identically)."""
     mono = samples.mean(axis=1).astype(np.float64)
     n = mono.shape[0]
     if n < 1:
         raise ValueError("empty audio")
     if n < 60:
-        mono = np.tile(mono, -(-60 // n))
+        mono = np.repeat(mono, -(-60 // n))
         n = mono.shape[0]
     idx = (np.arange(60, dtype=np.int64) * n) // 60
     sq = np.add.reduceat(mono * mono, idx)
     cnt = np.diff(np.append(idx, n)).astype(np.float64)
     energy = sq / cnt
-    bits = energy > energy.mean()
-    out = 0
-    for b in bits:
-        out = (out << 1) | int(b)
-    return out
+    return _bits_to_int(energy > energy.mean())
 
 
 def audio_fingerprint(media: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -427,7 +422,7 @@ def audio_fingerprint(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             for mid, blob in zip(pdf[id_col], pdf["bytes"]):
                 rate, samples = mc.decode_wav(bytes(blob))
                 rows.append(
-                    (mid, _audio_fingerprint(rate, samples),
+                    (mid, _audio_fingerprint(samples),
                      int(rate), int(samples.shape[0]))
                 )
             yield pd.DataFrame(
@@ -460,9 +455,14 @@ def video_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf["bytes"]):
                 w, h, frames = mc.decode_y4m(bytes(blob))
-                mean_luma = np.mean(
-                    np.stack([f.astype(np.float64) for f in frames]), axis=0
-                )
+                if not frames:
+                    raise ValueError("empty video (no frames)")
+                # running accumulator: one frame-sized float64 buffer
+                # instead of materializing the whole clip as float64
+                acc = np.zeros((h, w), dtype=np.float64)
+                for f in frames:
+                    acc += f
+                mean_luma = acc / len(frames)
                 rows.append(
                     (mid, _ahash_from_luma(mean_luma), int(w), int(h),
                      int(len(frames)))

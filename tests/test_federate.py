@@ -202,3 +202,33 @@ def test_federated_count_adds_members(fed_members, small_corpus_pdf):
     lf = LocalFederatedSearcher([m.index_dir for m in members])
     assert lf.count("import return") == exp_any
     assert lf.count("import return", mode="all") == exp_all
+
+
+@pytest.mark.spark
+def test_mixed_constants_count_ok_topk_rejected_locally(
+    spark, small_corpus_pdf, tmp_path
+):
+    """count() is scoring-free: mixed-k1/b members count on BOTH tiers;
+    only scoring calls reject — tier-identical behavior."""
+    from koncorde_spark.fulltext.federate import (
+        LocalFederatedSearcher,
+        federated_count,
+    )
+    from koncorde_spark.fulltext.indexer import IndexConfig, build_index
+    from koncorde_spark.fulltext.query import Bm25Index
+
+    dirs = []
+    for i, cfg in enumerate(
+        (IndexConfig(n_shards=2, k1=0.9), IndexConfig(n_shards=2))
+    ):
+        out = str(tmp_path / f"mix{i}")
+        half = small_corpus_pdf.head(50) if i == 0 else small_corpus_pdf.tail(50)
+        build_index(spark, spark.createDataFrame(half).repartition(2), out,
+                    cfg, resume=False)
+        dirs.append(out)
+    members = [Bm25Index(spark, d) for d in dirs]
+    lf = LocalFederatedSearcher(dirs)
+    n_spark = federated_count(members, "import")
+    assert lf.count("import") == n_spark > 0
+    with pytest.raises(ValueError, match="constants"):
+        lf.topk("import", 5)
