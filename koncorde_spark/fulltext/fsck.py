@@ -203,3 +203,66 @@ def fsck_index(
         bad = {k: v for k, v in checks.items() if not v["ok"]}
         raise IndexCorruption(f"index {index_dir} failed fsck: {bad}")
     return report
+
+
+def index_stats(spark: SparkSession, index_dir: str, top_terms: int = 10) -> dict:
+    """Read-only operational summary of an index: corpus stats from
+    meta, per-component parquet sizes (bytes, files), segment-count
+    distribution (how fragmented the postings are — the compaction
+    signal), hottest terms by df, and the tombstone fraction. Aggregates
+    only; no postings decode."""
+    import os as _os
+
+    meta = read_meta(index_dir)
+    out: dict = {
+        "index_dir": index_dir,
+        "n_docs": int(meta["n_docs"]),
+        "n_terms": int(meta.get("n_terms", -1)),
+        "avgdl": float(meta["avgdl"]),
+        "n_shards": int(meta["n_shards"]),
+        "positions": bool(meta.get("positions", False)),
+    }
+    sizes = {}
+    for comp in ("docs", "postings", "terms", "dlpack"):
+        path = _os.path.join(index_dir, comp)
+        n_bytes = n_files = 0
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += _os.path.getsize(_os.path.join(root, f))
+        sizes[comp] = {"bytes": n_bytes, "files": n_files}
+    out["sizes"] = sizes
+    postings = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(index_dir, "postings")
+    )
+    # fragmentation = segment rows per (term, shard): a fresh build has
+    # exactly 1 everywhere; each append/salt generation adds one — the
+    # distribution IS the compaction signal
+    seg = (
+        postings.groupBy("term", "shard")
+        .agg(F.count("*").alias("segs"))
+        .groupBy("segs")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("segs")
+        .collect()
+    )
+    out["segments_per_term_shard"] = {
+        int(r["segs"]): int(r["n_pairs"]) for r in seg
+    }
+    terms = spark.read.parquet(_os.path.join(index_dir, "terms"))
+    out["hottest_terms"] = [
+        {"term": r["term"], "df": int(r["df"])}
+        for r in terms.orderBy(F.desc("df"), F.asc("term")).limit(top_terms).collect()
+    ]
+    tomb_path = _os.path.join(index_dir, "tombstones")
+    n_tomb = (
+        spark.read.parquet(tomb_path).select("doc_id").distinct().count()
+        if fs.exists(tomb_path)
+        else 0
+    )
+    out["tombstones"] = n_tomb
+    out["tombstone_fraction"] = (
+        round(n_tomb / out["n_docs"], 6) if out["n_docs"] else 0.0
+    )
+    return out

@@ -104,3 +104,44 @@ def test_detects_duplicate_dlpack_rows(spark, bm25_index_dir, tmp_path):
     r = fsck_index(spark, d)
     assert not r["ok"] and not r["checks"]["manifest_dlpack"]["ok"]
     assert "duplicate pack rows" in r["checks"]["manifest_dlpack"]["detail"]
+
+
+@pytest.mark.spark
+def test_index_stats_summary(spark, bm25_index_dir, small_corpus_pdf):
+    from koncorde_spark.fulltext.fsck import index_stats
+    from koncorde_spark.fulltext.indexer import delete_docs
+    from koncorde_spark.fulltext.tokenizer import tokenize_text
+
+    st = index_stats(spark, bm25_index_dir, top_terms=3)
+    assert st["n_docs"] == len(small_corpus_pdf)
+    assert st["sizes"]["postings"]["bytes"] > 0
+    assert st["sizes"]["docs"]["files"] > 0
+    # fresh build: most (term, shard) pairs own one segment row; HOT
+    # terms may be salted into several even before any append (legal per
+    # the multi-segment invariant), so pin the shape, not exactly-{1}
+    dist = st["segments_per_term_shard"]
+    assert 1 in dist and all(k >= 1 for k in dist)
+    assert dist[1] == max(dist.values())  # singletons dominate
+    assert sum(dist.values()) >= st["n_terms"]
+    # hottest term df matches a brute recompute
+    vocab = {}
+    for text in small_corpus_pdf["content"]:
+        for t in set(tokenize_text(text)):
+            vocab[t] = vocab.get(t, 0) + 1
+    want = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(h["term"], h["df"]) for h in st["hottest_terms"]] == want
+    assert st["tombstones"] == 0 and st["tombstone_fraction"] == 0.0
+
+    # tombstone fraction reflects deletes
+    import shutil, tempfile
+
+    cp = tempfile.mkdtemp() + "/idx"
+    shutil.copytree(bm25_index_dir, cp)
+    ids = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(cp + "/docs").limit(6).collect()
+    ]
+    delete_docs(spark, cp, ids)
+    st2 = index_stats(spark, cp)
+    assert st2["tombstones"] == 6
+    assert abs(st2["tombstone_fraction"] - 6 / st2["n_docs"]) < 1e-9
