@@ -35,6 +35,7 @@ from koncorde_spark.fulltext.facets import (
     histogram_facet_sql,
     search_facets_sql,
     significant_terms_sql,
+    stats_facet_sql,
 )
 from koncorde_spark.fulltext.mlt import more_like_this_sql
 from koncorde_spark.fulltext.hybrid import hybrid_rrf_sql
@@ -712,6 +713,15 @@ def _q_bm25_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation: n/min/max/sum/avg of n_chars over the
+    matching set — one scan, one global agg."""
+    from koncorde_spark.fulltext.facets import stats_facet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats_facet(docs, BM25_QUERY_TERMS, "n_chars")
+
+
 SIGTERMS_TOP_N, SIGTERMS_MIN_DC = 15, 3
 
 
@@ -1381,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapse": _q_bm25_collapse,
         "bm25_suggest": _q_bm25_suggest,
         "facet_histogram": _q_facet_histogram,
+        "facet_stats": _q_facet_stats,
         "search_sigterms": _q_search_sigterms,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1598,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "search_sigterms": significant_terms_sql(
             "documents", BM25_QUERY_TERMS, SIGTERMS_TOP_N, SIGTERMS_MIN_DC
         ),
+        "facet_stats": stats_facet_sql("documents", BM25_QUERY_TERMS, "n_chars"),
         "substring_grep": substring_grep,
         "regex_grep": regex_grep,
         "bm25_counts": bm25_counts,

@@ -265,6 +265,54 @@ def histogram_facet_sql(
     """
 
 
+def stats_facet(
+    df: DataFrame,
+    query_terms: list[str],
+    value_col: str,
+    mode: str = "any",
+    text_col: str = "text",
+) -> DataFrame:
+    """Numeric stats aggregation over the matching set (Elasticsearch
+    `stats`): one row (n_docs, min, max, sum, avg) of ``value_col``
+    across the docs matching the query, NULL values excluded from the
+    numeric stats but counted in n_docs. One scan, one global agg."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    from koncorde_spark.rounding import round_away
+
+    v = F.col(value_col).cast("double")
+    return df.where(_match_pred(query_terms, mode, text_col)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        round_away(F.sum(v), 6).alias("sum"),
+        round_away(F.avg(v), 6).alias("avg"),
+    )
+
+
+def stats_facet_sql(
+    table: str,
+    query_terms: list[str],
+    value_col: str,
+    mode: str = "any",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`stats_facet`."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in set(query_terms))
+    toks = f"list_distinct({tokens_sql(text_col)})"
+    need = len(set(query_terms)) if mode == "all" else 1
+    hits = f"len(list_filter({toks}, t -> t IN ({terms})))"
+    return f"""
+    SELECT count(*)::BIGINT AS n_docs,
+           min(CAST({value_col} AS DOUBLE)) AS min,
+           max(CAST({value_col} AS DOUBLE)) AS max,
+           round(sum(CAST({value_col} AS DOUBLE)), 6)::DOUBLE AS sum,
+           round(avg(CAST({value_col} AS DOUBLE)), 6)::DOUBLE AS avg
+    FROM {table}
+    WHERE {hits} >= {need}
+    """
+
+
 def search_facets_sql(
     table: str,
     query_terms: list[str],

@@ -142,3 +142,26 @@ class TestSignificantTerms:
             significant_terms_sql("documents", ["spark"], 5, 1)
         ).df()
         assert got.equals(want)
+
+
+@pytest.mark.spark
+class TestStatsFacet:
+    def test_matches_pandas_and_duckdb(self, spark):
+        from koncorde_spark.fulltext.facets import stats_facet, stats_facet_sql
+        from koncorde_spark.fulltext.tokenizer import tokenize_text
+
+        pdf = _fixture()
+        got = stats_facet(
+            spark.createDataFrame(pdf), ["spark"], "doc_id"
+        ).toPandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = con.execute(
+            stats_facet_sql("documents", ["spark"], "doc_id")
+        ).df()
+        assert got.equals(want)
+        m = pdf[pdf["text"].map(
+            lambda t: isinstance(t, str) and "spark" in tokenize_text(t)
+        )]
+        assert int(got.loc[0, "n_docs"]) == len(m)
+        assert float(got.loc[0, "min"]) == float(m["doc_id"].min())
