@@ -32,6 +32,17 @@ def _match_pred(query_terms: list[str], mode: str, text_col: str):
     return F.arrays_overlap(toks, qarr)
 
 
+
+def _match_where_sql(query_terms: list[str], mode: str, text_col: str) -> str:
+    """The match predicate every DuckDB facet twin shares — ONE copy of
+    the quoted-terms / tokenizer / threshold SQL, so the cross-engine
+    match rule cannot silently diverge between aggregations."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms)))
+    toks = f"list_distinct({tokens_sql(text_col)})"
+    need = len(set(query_terms)) if mode == "all" else 1
+    return f"len(list_filter({toks}, t -> t IN ({terms}))) >= {need}"
+
+
 def search_facets(
     df: DataFrame,
     query_terms: list[str],
@@ -178,11 +189,10 @@ def significant_terms_sql(
     qset = sorted(set(query_terms))
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in qset)
     toks = f"list_distinct({tokens_sql(text_col)})"
-    need = len(qset) if mode == "all" else 1
-    hits = f"len(list_filter({toks}, t -> t IN ({terms})))"
+    pred = _match_where_sql(query_terms, mode, text_col)
     return f"""
     WITH d AS (
-      SELECT {toks} AS t, ({hits} >= {need}) AS m FROM {table}
+      SELECT {toks} AS t, ({pred}) AS m FROM {table}
     ),
     tot AS (SELECT count(*) AS n_bg, sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_fg FROM d),
     c AS (
@@ -250,16 +260,13 @@ def histogram_facet_sql(
 ) -> str:
     """DuckDB twin of :func:`histogram_facet` (same tokenizer, same
     floor-bucket key, NULLs excluded)."""
-    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in set(query_terms))
-    toks = f"list_distinct({tokens_sql(text_col)})"
-    need = len(set(query_terms)) if mode == "all" else 1
-    hits = f"len(list_filter({toks}, t -> t IN ({terms})))"
+    pred = _match_where_sql(query_terms, mode, text_col)
     iv = float(interval)
     return f"""
     SELECT (floor(CAST({value_col} AS DOUBLE) / {iv}) * {iv})::DOUBLE AS bucket,
            count(*)::BIGINT AS n_docs
     FROM {table}
-    WHERE {hits} >= {need} AND {value_col} IS NOT NULL
+    WHERE {pred} AND {value_col} IS NOT NULL
     GROUP BY 1
     ORDER BY bucket
     """
@@ -298,10 +305,7 @@ def stats_facet_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB twin of :func:`stats_facet`."""
-    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in set(query_terms))
-    toks = f"list_distinct({tokens_sql(text_col)})"
-    need = len(set(query_terms)) if mode == "all" else 1
-    hits = f"len(list_filter({toks}, t -> t IN ({terms})))"
+    pred = _match_where_sql(query_terms, mode, text_col)
     return f"""
     SELECT count(*)::BIGINT AS n_docs,
            min(CAST({value_col} AS DOUBLE)) AS min,
@@ -309,7 +313,7 @@ def stats_facet_sql(
            round(sum(CAST({value_col} AS DOUBLE)), 6)::DOUBLE AS sum,
            round(avg(CAST({value_col} AS DOUBLE)), 6)::DOUBLE AS avg
     FROM {table}
-    WHERE {hits} >= {need}
+    WHERE {pred}
     """
 
 
@@ -323,17 +327,14 @@ def search_facets_sql(
 ) -> str:
     """DuckDB twin of :func:`search_facets` (same tokenizer, same melt,
     same (count desc, value asc) top-N cut)."""
-    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in set(query_terms))
-    toks = f"list_distinct({tokens_sql(text_col)})"
-    need = len(set(query_terms)) if mode == "all" else 1
-    hits = f"len(list_filter({toks}, t -> t IN ({terms})))"
+    pred = _match_where_sql(query_terms, mode, text_col)
     melt = ", ".join(
         f"('{c}', CAST({c} AS VARCHAR))" for c in facet_cols
     )
     return f"""
     WITH matched AS (
       SELECT unnest([{melt}]) AS fv
-      FROM {table} WHERE {hits} >= {need}
+      FROM {table} WHERE {pred}
     ),
     counts AS (
       SELECT fv[1] AS facet, fv[2] AS value, count(*)::BIGINT AS n_docs

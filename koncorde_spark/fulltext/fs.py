@@ -129,3 +129,27 @@ def rename(src: str, dst: str) -> None:
     _, jdst, _ = _jfs(spark, dst)
     if not fs.rename(jsrc, jdst):
         raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def du(path: str) -> tuple[int, int]:
+    """(total bytes, file count) of the parquet files under ``path`` —
+    local fast path or recursive Hadoop listing for scheme-carrying
+    dirs (the ops tools must not silently report 0 on file://s3a://)."""
+    n_bytes = n_files = 0
+    if is_local(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        return n_bytes, n_files
+    fs_, jpath, _ = _jfs(_spark(), path)
+    if not fs_.exists(jpath):
+        return 0, 0
+    it = fs_.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            n_files += 1
+            n_bytes += int(st.getLen())
+    return n_bytes, n_files

@@ -210,9 +210,8 @@ def index_stats(spark: SparkSession, index_dir: str, top_terms: int = 10) -> dic
     meta, per-component parquet sizes (bytes, files), segment-count
     distribution (how fragmented the postings are — the compaction
     signal), hottest terms by df, and the tombstone fraction. Aggregates
-    only; no postings decode."""
-    import os as _os
-
+    only; no postings decode. Sizes go through fs.du, so scheme-carrying
+    index dirs (file:// s3a:// hdfs://) report real bytes."""
     meta = read_meta(index_dir)
     out: dict = {
         "index_dir": index_dir,
@@ -224,17 +223,11 @@ def index_stats(spark: SparkSession, index_dir: str, top_terms: int = 10) -> dic
     }
     sizes = {}
     for comp in ("docs", "postings", "terms", "dlpack"):
-        path = _os.path.join(index_dir, comp)
-        n_bytes = n_files = 0
-        for root, _dirs, files in _os.walk(path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n_files += 1
-                    n_bytes += _os.path.getsize(_os.path.join(root, f))
+        n_bytes, n_files = fs.du(os.path.join(index_dir, comp))
         sizes[comp] = {"bytes": n_bytes, "files": n_files}
     out["sizes"] = sizes
     postings = spark.read.option("mergeSchema", "true").parquet(
-        _os.path.join(index_dir, "postings")
+        os.path.join(index_dir, "postings")
     )
     # fragmentation = segment rows per (term, shard): a fresh build has
     # exactly 1 everywhere; each append/salt generation adds one — the
@@ -250,12 +243,12 @@ def index_stats(spark: SparkSession, index_dir: str, top_terms: int = 10) -> dic
     out["segments_per_term_shard"] = {
         int(r["segs"]): int(r["n_pairs"]) for r in seg
     }
-    terms = spark.read.parquet(_os.path.join(index_dir, "terms"))
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
     out["hottest_terms"] = [
         {"term": r["term"], "df": int(r["df"])}
         for r in terms.orderBy(F.desc("df"), F.asc("term")).limit(top_terms).collect()
     ]
-    tomb_path = _os.path.join(index_dir, "tombstones")
+    tomb_path = os.path.join(index_dir, "tombstones")
     n_tomb = (
         spark.read.parquet(tomb_path).select("doc_id").distinct().count()
         if fs.exists(tomb_path)

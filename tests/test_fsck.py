@@ -107,7 +107,7 @@ def test_detects_duplicate_dlpack_rows(spark, bm25_index_dir, tmp_path):
 
 
 @pytest.mark.spark
-def test_index_stats_summary(spark, bm25_index_dir, small_corpus_pdf):
+def test_index_stats_summary(spark, bm25_index_dir, small_corpus_pdf, tmp_path):
     from koncorde_spark.fulltext.fsck import index_stats
     from koncorde_spark.fulltext.indexer import delete_docs
     from koncorde_spark.fulltext.tokenizer import tokenize_text
@@ -133,9 +133,7 @@ def test_index_stats_summary(spark, bm25_index_dir, small_corpus_pdf):
     assert st["tombstones"] == 0 and st["tombstone_fraction"] == 0.0
 
     # tombstone fraction reflects deletes
-    import shutil, tempfile
-
-    cp = tempfile.mkdtemp() + "/idx"
+    cp = str(tmp_path / "idx")
     shutil.copytree(bm25_index_dir, cp)
     ids = [
         int(r["doc_id"])
