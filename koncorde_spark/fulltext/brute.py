@@ -11,9 +11,73 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..pipeline.text import tokens_col
 from ..rounding import round_away
+
+
+def _qt_tokenize_fn(text_col: str, id_col: str, query_terms: list[str]):
+    """mapInPandas kernel producing (id, dl, __qt): Arrow-re2 tokenize of
+    the batch with __qt pruned to the query terms.
+
+    Semantics are EXACTLY the Catalyst form it replaces
+    (``size(tokens_col)`` + ``filter(tokens_col, in qset)``): dl counts
+    ALL canonical tokens, __qt keeps only query-term occurrences in
+    document order, and a NULL text yields NULL dl / NULL __qt (the
+    Catalyst expressions propagate NULL; the DuckDB twin's lower(NULL)
+    does too). java.util.regex split was the dominant cost of the brute
+    path (~100x Arrow re2 on code text — CLAUDE.md); the downstream
+    stats/explode/agg plan is unchanged."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .tokenizer import SPLIT_PATTERN, TOKEN_PATTERN
+
+    qset = pa.array(sorted(set(query_terms)), type=pa.string())
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            texts = pdf[text_col]
+            nulls = texts.isna().to_numpy()
+            arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+            low = pc.utf8_lower(arr)
+            dl = pc.count_substring_regex(low, TOKEN_PATTERN).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            toks = pc.split_pattern_regex(low, SPLIT_PATTERN)
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            # '' boundary tokens are never query terms, so is_in prunes
+            # them together with every non-query token in one pass
+            kept = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
+            kept_idx = np.nonzero(kept)[0]
+            kept_toks = flat.take(pa.array(kept_idx)).to_pylist()
+            # parents are row-major nondecreasing → per-row slices
+            counts = np.bincount(parents[kept_idx], minlength=n)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            qt = [
+                None if nulls[i] else kept_toks[offs[i]: offs[i + 1]]
+                for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dl": pd.array(
+                        [None if nulls[i] else int(dl[i]) for i in range(n)],
+                        dtype="Int64",
+                    ),
+                    "__qt": qt,
+                }
+            )
+
+    return run
 
 
 def bm25_brute_topk(
@@ -31,13 +95,17 @@ def bm25_brute_topk(
     """``exclude_ids``: ids dropped from the CANDIDATE set only — corpus
     statistics (n, avgdl, df) still include them, matching a Lucene index
     that contains the excluded doc (the more-like-this contract)."""
-    qarr = F.array(*[F.lit(t) for t in query_terms])
-    d = df.select(
-        F.col(id_col),
-        F.size(tokens_col(text_col)).alias("dl"),
-        # prune to query terms BEFORE exploding: the explode then carries
-        # only matching tokens instead of the full token stream
-        F.filter(tokens_col(text_col), lambda t: F.array_contains(qarr, t)).alias("__qt"),
+    qt_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("dl", T.LongType()),
+            T.StructField("__qt", T.ArrayType(T.StringType())),
+        ]
+    )
+    # prune to query terms BEFORE exploding: the explode then carries
+    # only matching tokens instead of the full token stream
+    d = df.select(id_col, text_col).mapInPandas(
+        _qt_tokenize_fn(text_col, id_col, query_terms), schema=qt_schema
     )
     if materialize:
         # one tokenize pass feeds both the stats agg and the tf agg; with

@@ -18,18 +18,62 @@ Elasticsearch default.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from koncorde_spark.pipeline.text import tokens_col, tokens_sql
+from koncorde_spark.pipeline.text import tokens_sql
+
+
+def _distinct_query_hits_batch(texts, qset):
+    """Per-row count of DISTINCT query terms present, Arrow-vectorized
+    (re2 tokenize + is_in + unique (row, code) pairs) — the shared kernel
+    of the facet match predicate and the sigterms projection. NULL text
+    counts 0 hits (the Catalyst/DuckDB predicates propagate NULL→false,
+    same outcome)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from koncorde_spark.fulltext.tokenizer import SPLIT_PATTERN
+
+    n = len(texts)
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    kept = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
+    hits = np.zeros(n, dtype=np.int64)
+    if kept.any():
+        idx = np.nonzero(kept)[0]
+        code = pc.index_in(flat.take(pa.array(idx)), value_set=qset).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        uniq = np.unique(parents[idx] * len(qset) + code)
+        hits = np.bincount(uniq // len(qset), minlength=n).astype(np.int64)
+    return hits
 
 
 def _match_pred(query_terms: list[str], mode: str, text_col: str):
-    qarr = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
-    toks = F.array_distinct(tokens_col(text_col))
-    if mode == "all":
-        return F.size(F.array_intersect(toks, qarr)) >= len(set(query_terms))
-    return F.arrays_overlap(toks, qarr)
+    """The match predicate as a vectorized Arrow pandas_udf: tokenizing
+    with java.util.regex ``split`` per query made the facet family scan-
+    bound on the regex (~100x Arrow re2 on code text — CLAUDE.md); the
+    boolean is identical by construction (distinct-token intersection
+    count against the same canonical tokenizer, threshold |terms| for
+    "all", 1 for "any" — exactly _match_where_sql's rule)."""
+    import pyarrow as pa
+
+    qlist = sorted(set(query_terms))
+    need = len(qlist) if mode == "all" else 1
+
+    @F.pandas_udf("boolean")
+    def m(texts: pd.Series) -> pd.Series:
+        qset = pa.array(qlist, type=pa.string())
+        return pd.Series(_distinct_query_hits_batch(texts, qset) >= need)
+
+    return m(F.col(text_col))
 
 
 
@@ -89,6 +133,50 @@ def search_facets(
     )
 
 
+def _sigterms_tokenize_fn(text_col: str, qset: list[str], need: int):
+    """mapInPandas kernel for significant_terms: per-row DISTINCT token
+    arrays + the is-match flag from one Arrow tokenize (unique (row, code)
+    pairs; flag = distinct query-term hits >= need). NULL text ≡ no
+    tokens, no match — identical to the Catalyst projection it replaces
+    (array_distinct order differs, but every consumer is a hash-agg)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from koncorde_spark.fulltext.tokenizer import tokenize_arrow
+
+        qarr = np.asarray(qset, dtype=object)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes, rows, vocab, _dls = tokenize_arrow(pdf[text_col])
+            V = max(len(vocab), 1)
+            uniq = np.unique(rows * V + codes) if len(codes) else np.empty(0, np.int64)
+            u_rows = (uniq // V).astype(np.int64)
+            u_codes = (uniq % V).astype(np.int64)
+            counts = np.bincount(u_rows, minlength=n)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            terms = vocab[u_codes] if len(u_codes) else np.empty(0, dtype=object)
+            tl = terms.tolist()
+            is_q = np.isin(vocab, qarr) if len(vocab) else np.empty(0, dtype=bool)
+            hits = (
+                np.bincount(u_rows, weights=is_q[u_codes], minlength=n)
+                if len(u_codes)
+                else np.zeros(n)
+            )
+            yield pd.DataFrame(
+                {
+                    "__t": [tl[offs[i]: offs[i + 1]] for i in range(n)],
+                    "__m": hits >= need,
+                }
+            )
+
+    return run
+
+
 def significant_terms(
     df: DataFrame,
     query_terms: list[str],
@@ -113,19 +201,20 @@ def significant_terms(
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
     qset = sorted(set(query_terms))
-    qarr = F.array(*[F.lit(t) for t in qset])
-    # the is-match flag derives from the PROJECTED token array (one
-    # tokenize), and the projection is checkpointed so the totals job and
-    # the counts agg share its materialization instead of re-tokenizing
-    # the corpus twice
-    match = (
-        F.size(F.array_intersect(F.col("__t"), qarr)) >= len(qset)
-        if mode == "all"
-        else F.arrays_overlap(F.col("__t"), qarr)
-    )
+    need = len(qset) if mode == "all" else 1
+    # ONE Arrow tokenize per batch produces the distinct-token array AND
+    # the is-match flag together (java-regex split + array_distinct made
+    # this projection the dominant cost); the projection is checkpointed
+    # so the totals job and the counts agg share its materialization
+    # instead of re-tokenizing the corpus twice. Token order within __t
+    # is vocabulary-code order — downstream (explode + hash-agg) is
+    # order-independent.
     toks = (
-        df.select(F.array_distinct(tokens_col(text_col)).alias("__t"))
-        .withColumn("__m", match)
+        df.select(text_col)
+        .mapInPandas(
+            _sigterms_tokenize_fn(text_col, qset, need),
+            schema="__t array<string>, __m boolean",
+        )
         .localCheckpoint()
     )
     totals = toks.agg(

@@ -707,8 +707,9 @@ def build_index(
         stats_v = _stamp_stats_version(terms_path)
     # vocabulary size recorded in meta so the query tier can decide its
     # driver-side-terms-cache policy without firing a count() job on the
-    # first query (VERDICT r2 nit)
-    n_terms = spark.read.parquet(terms_path).count()
+    # first query (VERDICT r2 nit). Parquet footers answer in O(files)
+    # without a Spark job (same discipline as the append precheck).
+    n_terms = _parquet_count_rows(spark, terms_path)
 
     meta = {
         "n_docs": n_docs,

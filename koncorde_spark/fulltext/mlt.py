@@ -31,6 +31,68 @@ from koncorde_spark.rounding import round_away
 from .brute import bm25_brute_topk
 
 
+def _seed_df_counts(
+    df: DataFrame, seed_terms: list[str], text_col: str
+) -> DataFrame:
+    """(term, df) for ``seed_terms`` over ``df``: the number of documents
+    containing each term, via one narrow Arrow-tokenize mapInPandas with
+    per-batch partial counts (map-side combine) + one tiny hash-agg."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("term", T.StringType()), T.StructField("cnt", T.LongType())]
+    )
+    seed = list(seed_terms)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .tokenizer import SPLIT_PATTERN
+
+        qset = pa.array(seed, type=pa.string())
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = pa.array(pdf[text_col].fillna("").astype(str), type=pa.string())
+            toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            kept = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
+            if not kept.any():
+                continue
+            idx = np.nonzero(kept)[0]
+            code = pc.index_in(
+                flat.take(pa.array(idx)), value_set=qset
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            # one count per DISTINCT (doc, term) pair
+            uniq = np.unique(parents[idx] * len(seed) + code)
+            cnt = np.bincount(uniq % len(seed), minlength=len(seed))
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {"term": [seed[i] for i in nz], "cnt": cnt[nz].astype(np.int64)}
+            )
+
+    if not seed:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("term", T.StringType()), T.StructField("df", T.LongType())]
+            ),
+        )
+    return (
+        df.select(text_col)
+        .mapInPandas(run, schema=schema)
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("df"))
+    )
+
+
 def mlt_terms(
     df: DataFrame,
     doc_id,
@@ -51,14 +113,14 @@ def mlt_terms(
         .agg(F.count("*").alias("tf"))
         .where(F.col("tf") >= min_term_freq)
     )
-    # df per seed term: distinct per-doc terms, broadcast-semi-joined on
-    # the seed's (tiny) vocabulary, one hash-agg
-    dfreq = (
-        df.select(F.explode(F.array_distinct(toks)).alias("term"))
-        .join(F.broadcast(src_tf.select("term")), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # df per seed term: one Arrow-tokenize pass emitting per-batch partial
+    # (term, cnt) for the seed's terms only (each doc counted once per
+    # distinct term it contains), summed in one tiny hash-agg — replaces a
+    # java-regex split + full-vocabulary explode + semi-join of the whole
+    # corpus (same values by construction: distinct-per-doc ∩ seed terms).
+    # The seed vocabulary is a bounded driver collect (one document).
+    seed_terms = sorted(r["term"] for r in src_tf.collect())
+    dfreq = _seed_df_counts(df, seed_terms, text_col)
     idf = F.log(
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )

@@ -719,16 +719,27 @@ PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
 
 def pii_scrub(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Redact PII-shaped spans: (id, n_emails, n_ipv4, n_phones, scrubbed).
 
     Counts are over the ORIGINAL text per category (independent, so both
     engines agree regardless of replacement interactions); the scrubbed
     text applies the replacements in fixed order (emails → IPv4 → phone
-    runs) with <EMAIL> / <IP> / <PHONE> markers. Pure Catalyst
-    (regexp_count + regexp_replace inside whole-stage codegen): no UDF,
-    no shuffle — the 100-TB shape is scan → project → write."""
+    runs) with <EMAIL> / <IP> / <PHONE> markers.
+
+    ``engine``: "arrow" (default) delegates to :func:`pii_scrub_arrow` —
+    one narrow re2 mapInPandas pass, measured ~6-7x the chained
+    java.util.regex projections on code text, bit-identical output
+    (parity-pinned); "catalyst" keeps the pure-Catalyst expression form
+    (regexp_count + regexp_replace inside whole-stage codegen — the
+    shape the DuckDB oracle twin transcribes, and the right choice when
+    a deployment cannot run Python workers)."""
+    if engine == "arrow":
+        return pii_scrub_arrow(df, text_col, id_col)
+    if engine != "catalyst":
+        raise ValueError(f"engine must be 'arrow' or 'catalyst', got {engine!r}")
     c = F.coalesce(F.col(text_col), F.lit(""))
     scrubbed = F.regexp_replace(
         F.regexp_replace(

@@ -906,7 +906,10 @@ class TestPiiScrub:
         ]
         pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
         sdf = spark.createDataFrame(pdf)
-        a = text.pii_scrub(sdf).toPandas().sort_values("doc_id").reset_index(drop=True)
+        a = (
+            text.pii_scrub(sdf, engine="catalyst")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
         b = (
             text.pii_scrub_arrow(sdf)
             .toPandas().sort_values("doc_id").reset_index(drop=True)
@@ -914,7 +917,10 @@ class TestPiiScrub:
         assert a.equals(b)
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        a = text.pii_scrub(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+        a = (
+            text.pii_scrub(docs, engine="catalyst")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
         b = (
             text.pii_scrub_arrow(docs)
             .toPandas().sort_values("doc_id").reset_index(drop=True)
