@@ -538,6 +538,7 @@ def build_index(
         # here would emit n_tasks × n_shards tiny files whose driver-serial
         # job commit dominates build time and breaks scaling
         docs.write.mode("overwrite").parquet(docs_path)
+        metrics["docs_write_sec"] = time.time() - t0
         docs = spark.read.parquet(docs_path)
         lineage = _shard_lineage(docs)
         present = {r["shard"] for r in lineage}
@@ -591,6 +592,7 @@ def build_index(
             for sh in range(config.n_shards)
         ]
         _write_manifests(out_dir, "dlpack", man, fp)
+    metrics["dlpack_sec"] = time.time() - t0 - metrics["docs_sec"]
 
     # -- stage 2: postings --------------------------------------------------
     t0 = time.time()
@@ -663,7 +665,13 @@ def build_index(
         partials.unpersist()
         metrics["merge_write_sec"] = time.time() - t_merge
         t_manifest = time.time()
-        postings = spark.read.parquet(postings_path).persist()
+        # manifest + term stats need only (term, shard, df): persisting the
+        # FULL postings rows would cache the dominant doc_ids/tfs binary
+        # payload for two aggregations that never read it — the narrow
+        # projection keeps the cache tiny and both jobs column-pruned
+        postings = spark.read.parquet(postings_path).select(
+            "term", "shard", "df"
+        ).persist()
         pl = (
             postings.groupBy("shard")
             .agg(F.count("*").alias("rows"), F.sum("df").alias("tokens"))
@@ -699,6 +707,7 @@ def build_index(
             F.sum("df").alias("df")
         ).write.mode("overwrite").parquet(terms_path)
     metrics["terms_sec"] = time.time() - t0
+    t0 = time.time()
     # stats commit stamp: fresh or rebuilt terms get a new version; a
     # resume that kept the existing terms re-records its current stamp
     # (meta is rewritten below either way — the pair must stay matched)
@@ -710,6 +719,7 @@ def build_index(
     # first query (VERDICT r2 nit). Parquet footers answer in O(files)
     # without a Spark job (same discipline as the append precheck).
     n_terms = _parquet_count_rows(spark, terms_path)
+    metrics["finalize_sec"] = time.time() - t0
 
     meta = {
         "n_docs": n_docs,

@@ -39,13 +39,30 @@ CANDIDATES_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
 def _unique_trigram_tokens(text: str) -> str:
-    """Space-joined hex tokens of the DISTINCT utf-8 byte trigrams."""
+    """Space-joined hex tokens of the DISTINCT utf-8 byte trigrams.
+
+    Token construction is fully vectorized: a per-trigram f-string loop
+    (`f"g{k:06x}"` × ~thousands of unique trigrams per code file × every
+    document, run TWICE per build — the docs and partials stages each
+    execute the trigram_corpus map) dominated trigram index builds.
+    hexlify of the big-endian uint32 buffer gives '00xxxxxx' per key
+    (keys < 2^24, lowercase hex — exactly %06x), and one char-matrix
+    assembly adds the 'g' prefix and space separators."""
+    import binascii
+
     data = text.encode("utf-8")
     if len(data) < 3:
         return ""
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
-    keys = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
-    return " ".join(f"g{k:06x}" for k in np.unique(keys))
+    keys = np.unique((arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:])
+    hexed = np.frombuffer(
+        binascii.hexlify(keys.astype(">u4").tobytes()), dtype="S1"
+    ).reshape(-1, 8)
+    out = np.empty((len(keys), 8), dtype="S1")
+    out[:, 0] = b"g"
+    out[:, 1:7] = hexed[:, 2:8]
+    out[:, 7] = b" "
+    return out.tobytes()[:-1].decode()
 
 
 def pattern_trigram_tokens(pattern: str) -> list[str]:
