@@ -88,6 +88,35 @@ _DLPACK_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 _DLPACK_CACHE_MAX = 64
 
 
+def _bounded_levenshtein(a: str, b: str, max_d: int) -> int:
+    """Exact Levenshtein distance when ≤ ``max_d``, else -1 (the same
+    contract as Spark's bounded ``levenshtein(l, r, threshold)``): classic
+    two-row DP with early abandon when a whole row exceeds the budget."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_d:
+        return -1
+    if la == 0:
+        return lb if lb <= max_d else -1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            c = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if ca == b[j - 1] else 1),
+            )
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > max_d:
+            return -1
+        prev = cur
+    return prev[lb] if prev[lb] <= max_d else -1
+
+
 def parse_expansion_query(query: str, marker: str, kind: str, expand) -> list[str]:
     """Sorted deduped term set for a query mixing literal tokens with
     trailing-``marker`` expansion terms — THE shared grammar of
@@ -652,14 +681,30 @@ class Bm25Index:
             lambda _, pdf: per_shard(pdf), schema=out_schema
         )
 
+    def _terms_local_dict(self) -> dict | None:
+        """The driver-side {term: df} map when the vocabulary is small
+        enough (populated lazily by _df_for), else None."""
+        if self._terms_local is None:
+            self._df_for([])  # decide + populate the cache policy
+        return self._terms_local if self._terms_local is not False else None
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Vocabulary terms starting with ``prefix``, highest-df first
         (ties by ascending term), capped at ``max_expansions``.
 
-        One tiny job over the cached terms table; startswith compiles to a
-        Catalyst StartsWith predicate (parquet row-group pruning on the
-        term-sorted files). The (df DESC, term ASC) cap is the
-        deterministic contract the SQL oracle reproduces verbatim."""
+        When the vocabulary is driver-cached (_df_for's TERMS_LOCAL_MAX
+        policy — the same dict every query's df lookup probes), the
+        expansion is a dict scan with NO Spark job; large vocabularies
+        fall back to one tiny job over the cached terms table (startswith
+        compiles to a Catalyst StartsWith predicate with parquet
+        row-group pruning on the term-sorted files). The (df DESC, term
+        ASC) cap is the deterministic contract the SQL oracle reproduces
+        verbatim — identical on both paths by construction."""
+        tl = self._terms_local_dict()
+        if tl is not None:
+            hits = [(t, df) for t, df in tl.items() if t.startswith(prefix)]
+            hits.sort(key=lambda x: (-x[1], x[0]))
+            return [t for t, _ in hits[:max_expansions]]
         rows = (
             self.terms.where(F.col("term").startswith(prefix))
             .orderBy(F.desc("df"), F.asc("term"))
@@ -693,10 +738,23 @@ class Bm25Index:
         """Vocabulary terms within ``max_distance`` edits of ``term``
         (Levenshtein), ordered closest-first then highest-df (ties by
         ascending term), capped at ``max_expansions`` — the Lucene
-        FuzzyQuery rewrite contract. One job scanning the cached terms
-        table with a JVM-side levenshtein + length pre-filter (|len
-        difference| > d can never match); no vocabulary leaves the JVM
-        except the capped result."""
+        FuzzyQuery rewrite contract. When the vocabulary is driver-cached
+        (the _df_for dict), the length-banded scan + bounded edit-distance
+        run in-process with NO Spark job; large vocabularies keep the one
+        job over the cached terms table with a JVM-side levenshtein +
+        length pre-filter (|len difference| > d can never match)."""
+        tl = self._terms_local_dict()
+        if tl is not None:
+            lo, hi = len(term) - max_distance, len(term) + max_distance
+            hits = []
+            for t, df in tl.items():
+                if not (lo <= len(t) <= hi):
+                    continue
+                d = _bounded_levenshtein(term, t, max_distance)
+                if d >= 0:
+                    hits.append((d, -df, t))
+            hits.sort()
+            return [t for _, _, t in hits[:max_expansions]]
         lit = F.lit(term)
         rows = (
             self.terms.where(

@@ -124,13 +124,45 @@ def doc_keywords(
     by ascending term. Terms occurring in EVERY document score 0 and are
     dropped (ln 1 = 0 — the classic stopword self-suppression). Returns
     (id, term, tf, score, rank) ordered by (id, rank)."""
-    toks = df.select(F.col(id_col), tokens_col(text_col).alias("__t"))
-    n_docs = toks.count()
-    tf = (
-        toks.select(F.col(id_col), F.explode("__t").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    # per-(doc, term) tf from ONE narrow Arrow tokenize — each document
+    # lives entirely inside one Arrow batch, so the per-batch unique
+    # (row, code) counts ARE the final tf rows: no java-regex split, no
+    # explode, and the (id, term)-keyed aggregation exchange disappears
+    # (the df agg and the per-doc window are the remaining shuffles)
+    from pyspark.sql import types as T
+
+    tf_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.LongType()),
+        ]
     )
+
+    def tf_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..fulltext.tokenizer import tokenize_arrow
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes, rows, vocab, _dls = tokenize_arrow(pdf[text_col])
+            if len(codes) == 0:
+                continue
+            V = len(vocab)
+            uniq, cnt = np.unique(rows * V + codes, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[(uniq // V).astype(np.int64)],
+                    "term": vocab[(uniq % V).astype(np.int64)],
+                    "tf": cnt.astype(np.int64),
+                }
+            )
+
+    tf = df.select(id_col, text_col).mapInPandas(tf_fn, schema=tf_schema)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
     scored = (
         tf.join(dfreq, "term")
