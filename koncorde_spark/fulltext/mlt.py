@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from koncorde_spark.pipeline.text import tokens_col, tokens_sql
+from koncorde_spark.pipeline.text import tokens_sql
 from koncorde_spark.rounding import round_away
 
 from .brute import bm25_brute_topk
@@ -105,21 +105,33 @@ def mlt_terms(
     """The seed doc's top terms: (term, tf, df, mlt_score), cut to
     ``max_query_terms`` by (score desc, term asc)."""
     n_docs = df.count()
-    toks = tokens_col(text_col)
-    src_tf = (
-        df.where(F.col(id_col) == F.lit(doc_id))
-        .select(F.explode(toks).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("tf"))
-        .where(F.col("tf") >= min_term_freq)
+    # seed tf: ONE filtered 1-row collect of the seed doc's text, token
+    # counts in the driver (tokenize_text IS the canonical rule — 4-place
+    # invariant — so the counts equal the old explode + groupBy exactly,
+    # and summing across rows covers a duplicated id like the agg did).
+    # This replaces a Spark job whose only real work was tokenizing one
+    # document; the literal (term, tf) frame feeds the same downstream
+    # plan unchanged.
+    from collections import Counter
+
+    from .tokenizer import tokenize_text
+
+    seed_tf: Counter = Counter()
+    for r in df.where(F.col(id_col) == F.lit(doc_id)).select(text_col).collect():
+        seed_tf.update(tokenize_text(r[text_col] or ""))
+    items = sorted(
+        (t, int(c)) for t, c in seed_tf.items() if c >= min_term_freq
     )
+    spark = df.sparkSession
+    src_tf = spark.createDataFrame(
+        [(t, c) for t, c in items], "term string, tf long"
+    ) if items else spark.createDataFrame([], "term string, tf long")
     # df per seed term: one Arrow-tokenize pass emitting per-batch partial
     # (term, cnt) for the seed's terms only (each doc counted once per
     # distinct term it contains), summed in one tiny hash-agg — replaces a
     # java-regex split + full-vocabulary explode + semi-join of the whole
     # corpus (same values by construction: distinct-per-doc ∩ seed terms).
-    # The seed vocabulary is a bounded driver collect (one document).
-    seed_terms = sorted(r["term"] for r in src_tf.collect())
+    seed_terms = [t for t, _ in items]
     dfreq = _seed_df_counts(df, seed_terms, text_col)
     idf = F.log(
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
