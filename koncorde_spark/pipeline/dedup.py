@@ -688,49 +688,62 @@ def simhash_candidate_pairs(
     behavior and the Hamming filter are unchanged, and the cap rule is
     reproduced verbatim by the DuckDB twin (``simhash_pairs_sql``).
     """
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias(f"c{i}")
+    # ONE exploded (id, simhash, chunk, c) frame replaces four per-chunk
+    # window+self-join rounds (4 window shuffles + 4 joins + 3 unions →
+    # 1 window + 1 join + 1 union) — the exact shape the DuckDB twin's
+    # `chunks` CTE already defines, so the pair set is unchanged by
+    # construction (pairs were per-chunk tagged then deduped either way).
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), 15 * i)
+            .bitwiseAND(F.lit(0x7FFF))
+            .alias("c"),
+        )
         for i in range(4)
     ]
-    e = sigs.select(id_col, "simhash", *chunks)
+    e = sigs.select(
+        id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.c").alias("c"))
     if materialize:
         e = e.localCheckpoint(eager=True)
-    out = None
-    for i in range(4):
-        w = Window.partitionBy(f"c{i}")
-        # min over (id, simhash) struct = bucket-min id plus ITS signature,
-        # so star edges can compute hamming without a hub re-join.
-        stats = e.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
-            "m", F.min(F.struct(F.col(id_col), F.col("simhash"))).over(w)
+    w = Window.partitionBy("chunk", "c")
+    # min over (id, simhash) struct = bucket-min id plus ITS signature,
+    # so star edges can compute hamming without a hub re-join.
+    stats = e.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "m", F.min(F.struct(F.col(id_col), F.col("simhash"))).over(w)
+    )
+    small = stats.where(F.col("n") <= bucket_cap)
+    l, r = small.alias("l"), small.alias("r")
+    all_pairs = l.join(
+        r,
+        (F.col("l.chunk") == F.col("r.chunk"))
+        & (F.col("l.c") == F.col("r.c"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.bit_count(
+            F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+        ).alias("hamming"),
+    )
+    star_pairs = (
+        stats.where(
+            (F.col("n") > bucket_cap) & (F.col(id_col) != F.col(f"m.{id_col}"))
         )
-        small = stats.where(F.col("n") <= bucket_cap)
-        l, r = small.alias("l"), small.alias("r")
-        all_pairs = l.join(
-            r,
-            (F.col(f"l.c{i}") == F.col(f"r.c{i}"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        ).select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+        .select(
+            F.col(f"m.{id_col}").alias("id_a"),
+            F.col(id_col).alias("id_b"),
             F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                F.col("m.simhash").bitwiseXOR(F.col("simhash"))
             ).alias("hamming"),
         )
-        star_pairs = (
-            stats.where(
-                (F.col("n") > bucket_cap) & (F.col(id_col) != F.col(f"m.{id_col}"))
-            )
-            .select(
-                F.col(f"m.{id_col}").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.bit_count(
-                    F.col("m.simhash").bitwiseXOR(F.col("simhash"))
-                ).alias("hamming"),
-            )
-        )
-        p = all_pairs.unionByName(star_pairs)
-        out = p if out is None else out.unionByName(p)
-    return out.where(F.col("hamming") <= max_hamming).distinct()
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def simhash_pairs_sql(
