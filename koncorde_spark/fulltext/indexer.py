@@ -923,13 +923,16 @@ def append_index(spark: SparkSession, new_corpus: DataFrame, out_dir: str) -> di
     nd = new_src.mapInPandas(_docs_stage_fn(n_shards), schema=DOCS_SCHEMA).localCheckpoint(
         eager=True
     )
-    n_new = nd.count()
+    # ONE lineage aggregation answers both "how many new docs" (its row
+    # counts) and the manifest deltas — the separate count() job it
+    # replaces ran over the same checkpointed frame
+    new_lineage = {int(r["shard"]): r for r in _shard_lineage(nd)}
+    n_new = sum(int(r["rows"]) for r in new_lineage.values())
     if n_new == 0:
         return meta  # nothing new — the index is untouched
 
     # -- stage 2: docs append + combined lineage --------------------------
     nd.write.mode("append").parquet(docs_path)
-    new_lineage = {int(r["shard"]): r for r in _shard_lineage(nd)}
     comb_docs = []
     for sh in range(n_shards):
         old = docs_man.get(sh, {"rows": 0, "tokens": 0, "lineage_xor": 0})

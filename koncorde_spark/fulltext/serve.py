@@ -83,6 +83,15 @@ class LocalSearcher:
         self._df = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
         # per-shard doc-length packs, decoded once
         self._tombstones = _local_tombstones(index_dir)
+        # decoded term-segment cache: term → [(shard, ids, tfpart, blast,
+        # ub_base)] with tombstones applied and block metadata rebuilt —
+        # everything idf-INDEPENDENT, so a query multiplies by its own idf
+        # (scores = idf·tfpart, bounds = idf·ub_base: exactly the uncached
+        # arithmetic). Same decode-once discipline as self._dl and the job
+        # tier's worker caches; bounded by _SEG_CACHE_MAX_TERMS. The cache
+        # is PER-HANDLE state — a reopened searcher (the reader-reopen
+        # contract after append/compact) starts empty.
+        self._seg_cache: dict[str, list[tuple]] = {}
         pack = ds.dataset(os.path.join(index_dir, "dlpack"), format="parquet").to_table()
         self._dl: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for shard, n, ids_b, dls_b in zip(
@@ -135,6 +144,77 @@ class LocalSearcher:
         hits = self._topk_with_idf(idf, k, stats=stats)
         return hits, stats
 
+    # cache budget: decoded segments for this many DISTINCT terms (hot
+    # query vocabularies are small; at ~10k entries × 16 B per posting a
+    # thousand cached mid-df terms is tens of MB). Simple FIFO eviction.
+    _SEG_CACHE_MAX_TERMS = 1024
+
+    def _ensure_segments(self, terms: list[str]) -> None:
+        """Decode (once) the postings segments of any ``terms`` missing
+        from the per-handle cache. Stored per segment: (shard, ids,
+        tfpart, block_last, ub_base) — tombstones already applied, block
+        metadata rebuilt where filtering changed entry positions, and the
+        avgdl_seg bound correction folded into ub_base, so per-query
+        arithmetic is exactly scores = idf·tfpart / bounds = idf·ub_base
+        (bit-identical to the uncached path by associativity of the
+        scalar factor)."""
+        missing = [t for t in terms if t not in self._seg_cache]
+        if not missing:
+            return
+        k1, b = self.meta["k1"], self.meta["b"]
+        avgdl, bs = self.meta["avgdl"], self.meta["block_size"]
+        cols = ["term", "shard", "df", "doc_ids", "tfs", "block_last", "block_max"]
+        if "avgdl_seg" in self._postings.schema.names:
+            cols.append("avgdl_seg")
+        tbl = self._postings.to_table(
+            filter=ds.field("term").isin(missing), columns=cols
+        )
+        for t in missing:
+            self._seg_cache[t] = []  # absent-from-postings terms cache []
+        tomb = self._tombstones
+        for i in range(tbl.num_rows):
+            term = tbl["term"][i].as_py()
+            shard = int(tbl["shard"][i].as_py())
+            n = int(tbl["df"][i].as_py())
+            ids = delta_decode(bytes(tbl["doc_ids"][i].as_py()), n).astype(np.int64)
+            tfs = varint_decode(bytes(tbl["tfs"][i].as_py()), n).astype(np.float64)
+            dl_ids, dl_vals = self._dl[shard]
+            dls = dl_vals[np.searchsorted(dl_ids, ids)]
+            tfpart = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            # same avgdl-shift bound correction as the Spark path (keeps
+            # the two tiers bit-identical across appends)
+            seg = tbl["avgdl_seg"][i].as_py() if "avgdl_seg" in tbl.column_names else None
+            bscale = max(1.0, avgdl / float(seg)) if seg else 1.0
+            if len(tomb):
+                pos = np.searchsorted(tomb, ids)
+                keep = tomb[np.minimum(pos, len(tomb) - 1)] != ids
+                if not keep.all():
+                    ids, tfpart = ids[keep], tfpart[keep]
+                    if len(ids) == 0:
+                        continue
+                    # rebuild position-addressed block metadata (exact)
+                    nb = (len(ids) + bs - 1) // bs
+                    starts = np.arange(nb) * bs
+                    self._seg_cache[term].append(
+                        (
+                            shard, ids, tfpart,
+                            ids[np.minimum(starts + bs - 1, len(ids) - 1)],
+                            np.maximum.reduceat(tfpart, starts),
+                            None,
+                        )
+                    )
+                    continue
+            self._seg_cache[term].append(
+                (
+                    shard, ids, tfpart,
+                    np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
+                    np.asarray(tbl["block_max"][i].as_py()),
+                    bscale,
+                )
+            )
+        while len(self._seg_cache) > self._SEG_CACHE_MAX_TERMS:
+            self._seg_cache.pop(next(iter(self._seg_cache)))
+
     def _topk_with_idf(
         self,
         idf: dict[str, float],
@@ -148,64 +228,34 @@ class LocalSearcher:
         Bm25Index._shard_topk_frame). Conjunctive ``require`` is the full
         injected vocabulary size, so a member missing a term contributes
         nothing in mode='all'."""
-        k1, b = self.meta["k1"], self.meta["b"]
-        avgdl, bs = self.meta["avgdl"], self.meta["block_size"]
-
-        cols = ["term", "shard", "df", "doc_ids", "tfs", "block_last", "block_max"]
-        if "avgdl_seg" in self._postings.schema.names:
-            cols.append("avgdl_seg")
-        tbl = self._postings.to_table(
-            filter=ds.field("term").isin(list(idf)), columns=cols
-        )
+        bs = self.meta["block_size"]
+        self._ensure_segments(list(idf))
         by_shard: dict[int, dict[str, list[TermPostings]]] = {}
         # canonical term order — same rule as _decode_shard_postings: the
         # per-doc float64 sum must accumulate terms in a job-independent
-        # order for cross-tier and cross-page bit-parity
-        order = np.argsort(
-            np.asarray(tbl["term"].to_pylist(), dtype=object), kind="stable"
-        )
-        for i in (int(j) for j in order):
-            term = tbl["term"][i].as_py()
-            shard = int(tbl["shard"][i].as_py())
-            n = int(tbl["df"][i].as_py())
-            ids = delta_decode(bytes(tbl["doc_ids"][i].as_py()), n).astype(np.int64)
-            tfs = varint_decode(bytes(tbl["tfs"][i].as_py()), n).astype(np.float64)
-            dl_ids, dl_vals = self._dl[shard]
-            dls = dl_vals[np.searchsorted(dl_ids, ids)]
-            tfpart = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-            # same avgdl-shift bound correction as the Spark path (keeps
-            # the two tiers bit-identical across appends)
-            seg = tbl["avgdl_seg"][i].as_py() if "avgdl_seg" in tbl.column_names else None
-            bscale = max(1.0, avgdl / float(seg)) if seg else 1.0
-            scores = idf[term] * tfpart
-            tomb = self._tombstones
-            if len(tomb):
-                pos = np.searchsorted(tomb, ids)
-                keep = tomb[np.minimum(pos, len(tomb) - 1)] != ids
-                if not keep.all():
-                    ids, scores = ids[keep], scores[keep]
-                    if len(ids) == 0:
-                        continue
-                    # rebuild position-addressed block metadata (exact)
-                    nb = (len(ids) + bs - 1) // bs
-                    starts = np.arange(nb) * bs
-                    by_shard.setdefault(shard, {}).setdefault(term, []).append(
-                        TermPostings(
-                            ids, scores,
-                            ids[np.minimum(starts + bs - 1, len(ids) - 1)],
-                            np.maximum.reduceat(scores, starts), bs,
-                        )
-                    )
-                    continue
-            by_shard.setdefault(shard, {}).setdefault(term, []).append(
-                TermPostings(
-                    doc_ids=ids,
-                    scores=scores,
-                    block_last=np.asarray(tbl["block_last"][i].as_py(), dtype=np.int64),
-                    block_ub=idf[term] * bscale * np.asarray(tbl["block_max"][i].as_py()),
-                    block_size=bs,
+        # order for cross-tier and cross-page bit-parity (segment order
+        # within a term is per-doc irrelevant: segments are doc-disjoint)
+        for term in sorted(idf):
+            for shard, ids, tfpart, blast, ub_arr, bscale in self._seg_cache.get(term, ()):
+                # bscale None = tombstone-rebuilt bounds (reduceat of
+                # tfpart): idf·max(x) == max(idf·x) exactly (monotone
+                # scalar multiply). bscale set = stored block_max: keep
+                # the original fl(idf·bscale)·bm rounding order so bounds
+                # are bit-identical to the uncached path.
+                ub = (
+                    idf[term] * ub_arr
+                    if bscale is None
+                    else (idf[term] * bscale) * ub_arr
                 )
-            )
+                by_shard.setdefault(shard, {}).setdefault(term, []).append(
+                    TermPostings(
+                        doc_ids=ids,
+                        scores=idf[term] * tfpart,
+                        block_last=blast,
+                        block_ub=ub,
+                        block_size=bs,
+                    )
+                )
 
         after_ = check_after_cursor(after) if after is not None else None
         cand_ids: list[np.ndarray] = []

@@ -105,3 +105,22 @@ def test_serve_multifield_validation(bm25_index_dir):
 
     with pytest.raises(ValueError, match="at least one"):
         LocalMultiFieldSearcher({})
+
+
+def test_serve_segment_cache_repeats_identical(bm25_index_dir):
+    """The per-handle decoded-segment cache must be invisible: a repeated
+    query returns tuple-identical hits (scores bit-equal — the cache
+    stores the idf-independent tf-part, so per-query arithmetic is the
+    same fl ops), the cache actually populates, and mixed warm/cold term
+    sets (one cached term + one new term) still match a fresh handle."""
+    s = LocalSearcher(bm25_index_dir)
+    first = s.topk("import return", 10)
+    assert s._seg_cache  # populated by the first query
+    assert s.topk("import return", 10) == first
+    # 'import' is warm, 'def' cold — must equal a fresh handle's answer
+    mixed = s.topk("import def", 10)
+    assert mixed == LocalSearcher(bm25_index_dir).topk("import def", 10)
+    # conjunctive path rides the same cache
+    assert s.topk("import return", 10, mode="all") == LocalSearcher(
+        bm25_index_dir
+    ).topk("import return", 10, mode="all")
