@@ -490,12 +490,62 @@ def near_clusters_sql(
     """
 
 
-def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+# Edge sets at or below this size are clustered with a driver-side
+# union-find instead of the distributed label-propagation rounds: each
+# distributed round costs ~4 jobs (join, jump-join, agg+checkpoint,
+# convergence count) regardless of data size, which dominates wall time
+# for the small verified-pair sets a near-dup pipeline typically yields.
+# ~1M edges ≈ 16 MB of int64 pairs on the driver — far under any sane
+# driver budget; larger graphs keep the pointer-jumping loop.
+CLUSTER_DRIVER_EDGE_MAX = 1_000_000
+
+
+def _cluster_pairs_driver(edges_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact min-label connected components via union-find (path-halving)
+    — identical output to the distributed fixpoint by definition (the
+    cluster representative is the component's smallest id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_pdf["src"], edges_pdf["dst"]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    rep: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in rep or x < rep[r]:
+            rep[r] = x
+    ids = sorted(parent)
+    return pd.DataFrame(
+        {"id": ids, "cluster_id": [rep[find(x)] for x in ids]}
+    )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    driver_edge_max: int = CLUSTER_DRIVER_EDGE_MAX,
+) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
-    Min-label propagation WITH pointer jumping: every node repeatedly
-    adopts the smallest id among its neighbors' labels, its own label,
-    and its label's label (shortcutting) — O(log diameter) rounds, so
+    Small edge sets (≤ ``driver_edge_max`` directed edges after
+    symmetrization+dedup) are solved with one driver union-find — exact
+    and a dozen Spark jobs cheaper. Larger graphs run min-label
+    propagation WITH pointer jumping: every node repeatedly adopts the
+    smallest id among its neighbors' labels, its own label, and its
+    label's label (shortcutting) — O(log diameter) rounds, so
     ``max_iters=20`` covers components of diameter ~2^20. Each iteration
     ends in ``localCheckpoint()``: an iterative self-referencing plan
     otherwise grows exponentially (labels appears 4× per round) and
@@ -510,6 +560,17 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    if driver_edge_max and edges.count() <= driver_edge_max:
+        out = _cluster_pairs_driver(edges.toPandas())
+        id_type = pairs.schema["id_a"].dataType
+        edges.unpersist()
+        spark = pairs.sparkSession
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+        )
+        return spark.createDataFrame(out, schema=schema) if len(out) else (
+            spark.createDataFrame([], schema)
+        )
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))

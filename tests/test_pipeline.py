@@ -449,7 +449,9 @@ class TestClustering:
         pairs = spark.createDataFrame(
             pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
         )
-        out = dd.cluster_pairs(pairs).toPandas()
+        # driver_edge_max=0 forces the distributed pointer-jumping loop
+        # (the default would solve this tiny graph driver-side)
+        out = dd.cluster_pairs(pairs, driver_edge_max=0).toPandas()
         assert (out["cluster_id"] == 0).all()
         assert len(out) == n
 
