@@ -33,7 +33,7 @@ def _qt_tokenize_fn(text_col: str, id_col: str, query_terms: list[str]):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .tokenizer import SPLIT_PATTERN, TOKEN_PATTERN
+    from .tokenizer import flat_tokens_arrow, count_tokens_arrow
 
     qset = pa.array(sorted(set(query_terms)), type=pa.string())
 
@@ -44,16 +44,8 @@ def _qt_tokenize_fn(text_col: str, id_col: str, query_terms: list[str]):
                 continue
             texts = pdf[text_col]
             nulls = texts.isna().to_numpy()
-            arr = pa.array(texts.fillna("").astype(str), type=pa.string())
-            low = pc.utf8_lower(arr)
-            dl = pc.count_substring_regex(low, TOKEN_PATTERN).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            toks = pc.split_pattern_regex(low, SPLIT_PATTERN)
-            flat = pc.list_flatten(toks)
-            parents = pc.list_parent_indices(toks).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
+            dl = count_tokens_arrow(texts)
+            flat, parents = flat_tokens_arrow(texts)
             # '' boundary tokens are never query terms, so is_in prunes
             # them together with every non-query token in one pass
             kept = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)

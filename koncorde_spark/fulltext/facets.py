@@ -6,8 +6,10 @@ they distribute over metadata fields" (Elasticsearch `terms`
 aggregations / Solr facets). This computes, for a keyword query, the
 top-N values of each requested facet column with exact match counts.
 
-Scale shape (100 TB): the match predicate is a pure Catalyst filter over
-the tokenized text (predicate + column pruning reach the parquet scan),
+Scale shape (100 TB): the match predicate is a vectorized Arrow-re2
+pandas_udf filter (column pruning still reaches the parquet scan; the
+predicate itself runs batch-at-a-time in the Python worker — java-regex
+tokenization per query was the scan-bound cost it replaced),
 facets are MELTED into (facet, value) pairs in the same projection —
 so every requested facet rides ONE scan and ONE hash-agg shuffle keyed
 by (facet, value), map-side combined. The per-facet top-N window runs
@@ -27,23 +29,17 @@ from koncorde_spark.pipeline.text import tokens_sql
 
 def _distinct_query_hits_batch(texts, qset):
     """Per-row count of DISTINCT query terms present, Arrow-vectorized
-    (re2 tokenize + is_in + unique (row, code) pairs) — the shared kernel
-    of the facet match predicate and the sigterms projection. NULL text
-    counts 0 hits (the Catalyst/DuckDB predicates propagate NULL→false,
-    same outcome)."""
+    (the shared flat_tokens_arrow core + is_in + unique (row, code)
+    pairs) — the shared kernel of the facet match predicate and the
+    sigterms projection. NULL text counts 0 hits."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from koncorde_spark.fulltext.tokenizer import SPLIT_PATTERN
+    from koncorde_spark.fulltext.tokenizer import flat_tokens_arrow
 
     n = len(texts)
-    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
-    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks).to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
+    flat, parents = flat_tokens_arrow(texts)
     kept = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
     hits = np.zeros(n, dtype=np.int64)
     if kept.any():
@@ -62,7 +58,11 @@ def _match_pred(query_terms: list[str], mode: str, text_col: str):
     bound on the regex (~100x Arrow re2 on code text — CLAUDE.md); the
     boolean is identical by construction (distinct-token intersection
     count against the same canonical tokenizer, threshold |terms| for
-    "all", 1 for "any" — exactly _match_where_sql's rule)."""
+    "all", 1 for "any" — exactly _match_where_sql's rule). NULL text
+    never matches — the Catalyst/DuckDB predicates propagate NULL→false
+    even at threshold 0 (mode='all' with no query terms), so the
+    explicit notna guard keeps that degenerate case cross-engine
+    identical too."""
     import pyarrow as pa
 
     qlist = sorted(set(query_terms))
@@ -71,7 +71,10 @@ def _match_pred(query_terms: list[str], mode: str, text_col: str):
     @F.pandas_udf("boolean")
     def m(texts: pd.Series) -> pd.Series:
         qset = pa.array(qlist, type=pa.string())
-        return pd.Series(_distinct_query_hits_batch(texts, qset) >= need)
+        return pd.Series(
+            (_distinct_query_hits_batch(texts, qset) >= need)
+            & texts.notna().to_numpy()
+        )
 
     return m(F.col(text_col))
 
@@ -137,8 +140,10 @@ def _sigterms_tokenize_fn(text_col: str, qset: list[str], need: int):
     """mapInPandas kernel for significant_terms: per-row DISTINCT token
     arrays + the is-match flag from one Arrow tokenize (unique (row, code)
     pairs; flag = distinct query-term hits >= need). NULL text ≡ no
-    tokens, no match — identical to the Catalyst projection it replaces
-    (array_distinct order differs, but every consumer is a hash-agg)."""
+    tokens, no match (enforced even at need=0, matching the NULL
+    propagation of the Catalyst/DuckDB predicates) — identical to the
+    Catalyst projection it replaces (array_distinct order differs, but
+    every consumer is a hash-agg)."""
 
     def run(batches):
         import numpy as np
@@ -152,6 +157,7 @@ def _sigterms_tokenize_fn(text_col: str, qset: list[str], need: int):
             n = len(pdf)
             if n == 0:
                 continue
+            notna = pdf[text_col].notna().to_numpy()
             codes, rows, vocab, _dls = tokenize_arrow(pdf[text_col])
             V = max(len(vocab), 1)
             uniq = np.unique(rows * V + codes) if len(codes) else np.empty(0, np.int64)
@@ -170,7 +176,7 @@ def _sigterms_tokenize_fn(text_col: str, qset: list[str], need: int):
             yield pd.DataFrame(
                 {
                     "__t": [tl[offs[i]: offs[i + 1]] for i in range(n)],
-                    "__m": hits >= need,
+                    "__m": (hits >= need) & notna,
                 }
             )
 

@@ -50,18 +50,13 @@ def _seed_df_counts(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from .tokenizer import SPLIT_PATTERN
+        from .tokenizer import flat_tokens_arrow
 
         qset = pa.array(seed, type=pa.string())
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            arr = pa.array(pdf[text_col].fillna("").astype(str), type=pa.string())
-            toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
-            flat = pc.list_flatten(toks)
-            parents = pc.list_parent_indices(toks).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
+            flat, parents = flat_tokens_arrow(pdf[text_col])
             kept = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
             if not kept.any():
                 continue

@@ -144,10 +144,14 @@ class LocalSearcher:
         hits = self._topk_with_idf(idf, k, stats=stats)
         return hits, stats
 
-    # cache budget: decoded segments for this many DISTINCT terms (hot
-    # query vocabularies are small; at ~10k entries × 16 B per posting a
-    # thousand cached mid-df terms is tens of MB). Simple FIFO eviction.
+    # cache budget: decoded segments for this many DISTINCT terms AND at
+    # most this many decoded posting entries across them (~24 B/entry:
+    # int64 ids + float64 tfpart + block arrays) — a term cap alone would
+    # let a few stopword-grade terms pin GBs. FIFO eviction that NEVER
+    # evicts the terms of the query currently executing (evicting a warm
+    # term mid-query would silently drop its postings from scoring).
     _SEG_CACHE_MAX_TERMS = 1024
+    _SEG_CACHE_MAX_ENTRIES = 16_000_000  # ≈ 400 MB decoded
 
     def _ensure_segments(self, terms: list[str]) -> None:
         """Decode (once) the postings segments of any ``terms`` missing
@@ -212,8 +216,25 @@ class LocalSearcher:
                     bscale,
                 )
             )
-        while len(self._seg_cache) > self._SEG_CACHE_MAX_TERMS:
-            self._seg_cache.pop(next(iter(self._seg_cache)))
+        protected = set(terms)
+
+        def total_entries():
+            return sum(
+                len(seg[1]) for segs in self._seg_cache.values() for seg in segs
+            )
+
+        if (
+            len(self._seg_cache) > self._SEG_CACHE_MAX_TERMS
+            or total_entries() > self._SEG_CACHE_MAX_ENTRIES
+        ):
+            evictable = [t for t in self._seg_cache if t not in protected]
+            for t in evictable:
+                if (
+                    len(self._seg_cache) <= self._SEG_CACHE_MAX_TERMS
+                    and total_entries() <= self._SEG_CACHE_MAX_ENTRIES
+                ):
+                    break
+                self._seg_cache.pop(t)
 
     def _topk_with_idf(
         self,

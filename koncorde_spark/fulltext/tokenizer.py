@@ -78,6 +78,28 @@ def tokenize_arrow(texts: pd.Series):
     return codes, parents, vocab, dls
 
 
+def flat_tokens_arrow(texts: pd.Series):
+    """The canonical tokenizer's FLAT split stream for one batch:
+    ``(flat, parents)`` where ``flat`` is the Arrow string array of
+    lowercased split pieces (INCLUDING the '' boundary tokens split
+    emits — callers pruning by a query-term set drop them for free via
+    ``is_in``) and ``parents`` the int64 source-row index per piece.
+    Null text contributes nothing. This is the one shared Arrow core of
+    every query-term matching kernel (brute __qt pruning, MLT seed-df
+    counts, facet match predicate) so the 4-place tokenizer rule has a
+    single Arrow spelling."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_PATTERN)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    return flat, parents
+
+
 def count_tokens_arrow(texts: pd.Series) -> np.ndarray:
     """Token count per row WITHOUT materializing tokens.
 

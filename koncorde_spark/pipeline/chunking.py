@@ -125,11 +125,12 @@ def doc_keywords(
     dropped (ln 1 = 0 — the classic stopword self-suppression). Returns
     (id, term, tf, score, rank) ordered by (id, rank)."""
     n_docs = df.count()
-    # per-(doc, term) tf from ONE narrow Arrow tokenize — each document
-    # lives entirely inside one Arrow batch, so the per-batch unique
-    # (row, code) counts ARE the final tf rows: no java-regex split, no
-    # explode, and the (id, term)-keyed aggregation exchange disappears
-    # (the df agg and the per-doc window are the remaining shuffles)
+    # per-(doc, term) PARTIAL tf from ONE narrow Arrow tokenize — no
+    # java-regex split, no token explode; the (id, term) aggregation
+    # stays (summing the per-batch partials), because two ROWS may carry
+    # the same id (the old explode+groupBy summed across them and the
+    # DuckDB twin groups over the whole table) — but it now shuffles one
+    # compact row per (row, distinct term) instead of one per TOKEN
     from pyspark.sql import types as T
 
     tf_schema = T.StructType(
@@ -162,7 +163,12 @@ def doc_keywords(
                 }
             )
 
-    tf = df.select(id_col, text_col).mapInPandas(tf_fn, schema=tf_schema)
+    tf = (
+        df.select(id_col, text_col)
+        .mapInPandas(tf_fn, schema=tf_schema)
+        .groupBy(id_col, "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
     scored = (
         tf.join(dfreq, "term")

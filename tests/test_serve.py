@@ -124,3 +124,14 @@ def test_serve_segment_cache_repeats_identical(bm25_index_dir):
     assert s.topk("import return", 10, mode="all") == LocalSearcher(
         bm25_index_dir
     ).topk("import return", 10, mode="all")
+
+
+def test_serve_segment_cache_eviction_never_breaks_current_query(bm25_index_dir):
+    """Under a tiny cache budget every query still scores ALL its terms:
+    eviction must never drop a term of the query being executed."""
+    s = LocalSearcher(bm25_index_dir)
+    s._SEG_CACHE_MAX_TERMS = 1  # force eviction pressure on every query
+    fresh = LocalSearcher(bm25_index_dir)
+    for q in ("import return", "def function import", "import ident_00001 return"):
+        assert s.topk(q, 10) == fresh.topk(q, 10), q
+    assert len(s._seg_cache) >= 1
