@@ -560,17 +560,20 @@ def cluster_pairs(
         .distinct()
         .persist()
     )
-    if driver_edge_max and edges.count() <= driver_edge_max:
-        out = _cluster_pairs_driver(edges.toPandas())
-        id_type = pairs.schema["id_a"].dataType
-        edges.unpersist()
-        spark = pairs.sparkSession
-        schema = T.StructType(
-            [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
-        )
-        return spark.createDataFrame(out, schema=schema) if len(out) else (
-            spark.createDataFrame([], schema)
-        )
+    if driver_edge_max:
+        n_edges = edges.count()
+        if n_edges <= driver_edge_max:
+            id_type = pairs.schema["id_a"].dataType
+            spark = pairs.sparkSession
+            schema = T.StructType(
+                [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+            )
+            if n_edges == 0:
+                edges.unpersist()
+                return spark.createDataFrame([], schema)
+            out = _cluster_pairs_driver(edges.toPandas())
+            edges.unpersist()
+            return spark.createDataFrame(out, schema=schema)
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
